@@ -1,0 +1,110 @@
+"""Run-time configuration.
+
+Equivalent of the reference's `RUN_TIME_PARAMS` (reference params.py:38-534)
+— but where the reference threads one giant mutable `P` object through every
+layer and mutates it from GUI callbacks, here config is split into:
+
+  * PipelineConfig / ReceiverConfig — frozen host-side dataclasses (pure
+    data, picklable; the analogue of `copy_fields`, params.py:511-534);
+  * the traced per-channel arrays built from them (NCO numerators, bank
+    indices, gains) — see models/receiver.py — which can change every block
+    without recompiling;
+  * static compile keys (rates, block sizes, tap counts) that select the
+    compiled executable.
+
+Derived-rate logic mirrors params.py:399-472: rational UP/DOWN planning,
+block sizing, FOFFSET auto-centering across receivers, and the FOFFSET snap
+to an exact NCO bin (utils.py:277-289).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import numpy as np
+
+from pysdr_tpu import rates, tables
+from pysdr_tpu.tables import Mode
+
+# Default tuner offset: the reference parks the SDR center this far from the
+# main RX so the DC spike / LO leakage sits outside the channel
+# (params.py:311-315 auto-centering).
+DEFAULT_FOFFSET_HZ = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class ReceiverConfig:
+    """One channel of the bank (reference: one of up to MAX_RX=6 RXs)."""
+    fc_hz: float                     # RF center frequency of this channel
+    mode: Mode = Mode.AM
+    video_bw_hz: float = 0.0         # 0.0 = Max (menu tables.VIDEO_BWS_HZ)
+    af_bw_hz: float = 0.0            # 0.0 = mode default
+    af_gain: float = 1.0
+    agc_enabled: bool = True
+    squelch_db: float = -150.0       # effectively off
+    bfo_hz: float = tables.CW_BFO_HZ # CW beat note
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Whole-pipeline static configuration."""
+    fs_in: float = 2.048e6           # RF sample rate
+    fs_out: float = 48e3             # audio rate (48/96/192k, params.py:130)
+    out_block: int = 16384           # audio samples per block (>=1024; TPU
+                                     # prefers large blocks; 1024 matches the
+                                     # reference real-time chunk)
+    foffset_hz: float = DEFAULT_FOFFSET_HZ
+    video_taps_per_phase: int = 0    # 0 = auto (~8*down/up)
+    af_taps: int = 256
+    receivers: tuple[ReceiverConfig, ...] = ()
+
+    def __post_init__(self):
+        if not self.receivers:
+            object.__setattr__(self, "receivers",
+                               (ReceiverConfig(fc_hz=self.fs_in / 4),))
+
+    @property
+    def n_rx(self) -> int:
+        return len(self.receivers)
+
+    @property
+    def plan(self) -> rates.RatePlan:
+        return rates.rate_plan(self.fs_in, self.fs_out, self.out_block)
+
+    @property
+    def sdr_center_hz(self) -> float:
+        """Device tuner frequency: main RX center minus FOFFSET
+        (reference gui.py:1938-1944 `setFrequency(f2-FOFFSET)`)."""
+        return self.receivers[0].fc_hz - self.foffset_hz
+
+    def channel_offsets_hz(self) -> list[float]:
+        """Per-channel NCO offsets inside the passband:
+        frq_i = FOFFSET + FC[i] - FC[0] (reference receiver.py:829-835)."""
+        fc0 = self.receivers[0].fc_hz
+        return [self.foffset_hz + r.fc_hz - fc0 for r in self.receivers]
+
+
+def auto_foffset(fcs_hz: Sequence[float], fs_in: float,
+                 min_offset_hz: float = 20e3) -> float:
+    """Center the set of requested channels in the passband while keeping
+    the main channel at least min_offset from DC (params.py:311-315)."""
+    fc0 = fcs_hz[0]
+    lo, hi = min(fcs_hz), max(fcs_hz)
+    center = 0.5 * (lo + hi)
+    foff = center - fc0
+    if abs(foff) < min_offset_hz:
+        foff = min_offset_hz if foff >= 0 else -min_offset_hz
+    span = hi - lo
+    assert span + 2 * min_offset_hz < fs_in, \
+        f"channels span {span} Hz exceeds passband {fs_in}"
+    return foff
+
+
+def validate(cfg: PipelineConfig) -> None:
+    """Sanity checks mirroring the reference's setup validation
+    (utils.py:292-353 offset-within-tuner-BW check)."""
+    half = cfg.fs_in / 2
+    for off in cfg.channel_offsets_hz():
+        assert abs(off) < half, f"channel offset {off} outside ±{half}"
+    assert cfg.fs_out <= cfg.fs_in

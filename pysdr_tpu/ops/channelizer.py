@@ -1,0 +1,96 @@
+"""Critically-sampled polyphase filterbank (PFB) channelizer.
+
+The reference caps out at MAX_RX=6 independently-mixed receivers inside one
+passband (reference params.py:33, receiver.py:825-835) because each RX pays
+a full mix+decimate chain in Python. The TPU-native generalization is a
+polyphase channelizer: ONE filter + ONE FFT splits the passband into N
+uniform channels at fs/N each — the standard radio-astronomy F-engine
+structure (see PAPERS.md) — giving the 64+-channel configuration of
+BASELINE.json config 5. Per-channel fine tuning/demod then runs on the
+channel streams via the ordinary receiver chain.
+
+Math (weighted overlap-add, critically sampled):
+    v[m, r] = sum_k h[r + k*N] * x[(m-k)*N + r]      (branch filtering)
+    y[m, c] = sum_r v[m, r] * exp(+j 2*pi c r / N)   (= N * IFFT over r)
+so channel c is x mixed down by c*fs/N and decimated by N. Branch filtering
+is one strided conv (N input feature channels) on the MXU; the channel
+transform is one batched FFT.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pysdr_tpu.ops import fir
+
+
+@dataclasses.dataclass(frozen=True)
+class ChannelizerDesign:
+    fs_in: float
+    n_channels: int
+    taps_per_branch: int = 12
+    atten_db: float = 70.0
+
+    @property
+    def fs_channel(self) -> float:
+        return self.fs_in / self.n_channels
+
+    def prototype(self) -> np.ndarray:
+        """Lowpass prototype, cutoff at half the channel spacing, gain N
+        (so a unit tone at a channel center comes out at unit amplitude)."""
+        n, k = self.n_channels, self.taps_per_branch
+        h = fir.lowpass(n * k, 0.5 * self.fs_channel, self.fs_in,
+                        self.atten_db, scale=float(n))
+        return h
+
+    def center_freqs_hz(self) -> np.ndarray:
+        """Channel center frequencies (fftfreq order: 0, +, ..., -)."""
+        return np.fft.fftfreq(self.n_channels, 1.0 / self.fs_in)
+
+
+def pack_branch_weights(h: np.ndarray, n_channels: int) -> np.ndarray:
+    """(N*K,) prototype -> conv weights (N, N, K): out branch r takes input
+    feature r with taps h[r + k*N] (time-reversed for the conv window)."""
+    n = n_channels
+    k = len(h) // n
+    h_pp = np.asarray(h, np.float32).reshape(k, n).T      # (N, K)
+    w = np.zeros((n, n, k), np.float32)
+    for r in range(n):
+        w[r, r, :] = h_pp[r, ::-1]
+    return w
+
+
+def history_len(design: ChannelizerDesign) -> int:
+    """Input samples carried across blocks: (K-1)*N."""
+    return (design.taps_per_branch - 1) * design.n_channels
+
+
+@functools.partial(jax.jit, static_argnames=("n_channels",))
+def channelize_block(x, hist, weights, *, n_channels: int):
+    """Split one block into N channel streams.
+
+    x: complex64 (n,), n % N == 0; hist: complex64 ((K-1)*N,);
+    weights: float32 (N, N, K) from pack_branch_weights.
+    Returns (y complex64 (n//N, N) — row m, channel c in fftfreq order,
+    new_hist).
+    """
+    n = x.shape[0]
+    nch = n_channels
+    assert n % nch == 0
+    xp = jnp.concatenate([hist, x])                  # ((M+K-1)*N,)
+    mk = xp.shape[0] // nch
+    # branches: feature r = xp[m*N + r] -> (2, N, M+K-1) for re/im
+    xb = xp.reshape(mk, nch)
+    lhs = jnp.stack([xb.real.T, xb.imag.T])          # (2, N, M+K-1)
+    v = jax.lax.conv_general_dilated(
+        lhs, weights, window_strides=(1,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32)          # (2, N, M)
+    vc = jax.lax.complex(v[0], v[1]).T               # (M, N)
+    y = jnp.fft.ifft(vc, axis=-1) * nch              # channel transform
+    return y.astype(jnp.complex64), xp[n:]

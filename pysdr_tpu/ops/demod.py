@@ -1,0 +1,257 @@
+"""Demodulator bank: AM, AM-synch, USB/LSB, CW, NFM, WFM, WFM stereo, IQ.
+
+Reference behavior: `rx.demod_data(x)` dispatches on mode and runs envelope /
+PLL / one-sided-filter / discriminator demodulation followed by AF filtering
+and AGC (reference receiver.py:231-297; mode list Tables.py:34; NFM math
+sigs/nfm.m:124-127; AGC sigs/agc.m).
+
+TPU-native design decisions (deliberately NOT a translation):
+
+* Every mode's frontend is branch-free and parallel-in-time. There is no
+  per-sample loop anywhere: the AM-synch PLL becomes narrowband carrier
+  recovery (a ~±100 Hz one-sided filter extracts the carrier; the signal is
+  mixed with its conjugate unit vector) — equivalent to a locked PLL for any
+  SNR where the PLL would lock, and exactly parallel. One-pole recurrences
+  (DC block, de-emphasis, AGC envelope) are associative scans (scanops.py).
+
+* All mode frontends are computed unconditionally and blended with
+  `jnp.where` on a *traced* mode id. A mode change is therefore pure data —
+  no recompile, and an N-channel bank with mixed modes is a single vmap.
+  The extra arithmetic is negligible: frontends are elementwise; the heavy
+  ops (AF FIR, carrier/pilot FIRs) run once each regardless.
+
+* Audio is complex64: real = left/mono, imag = right (the reference packs
+  two RXs into stereo L/R the same way, receiver.py:158-189); IQ mode
+  passes baseband through unchanged.
+
+Demod runs at the audio rate fs_out (post-decimation), so per-block cost is
+tiny next to the RF-rate front half; fs_out = 192 kHz for WFM like the
+reference (params.py:400-404).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pysdr_tpu import tables
+from pysdr_tpu.ops import agc as agc_ops
+from pysdr_tpu.ops import fir, nco, resample, scanops
+from pysdr_tpu.tables import Mode
+
+
+class DemodState(NamedTuple):
+    """Uniform per-channel streaming state (same pytree for every mode so
+    the bank vmaps/shards cleanly)."""
+    af_hist: jax.Array      # complex64 (Ta-1,) AF filter history
+    carrier_hist: jax.Array # complex64 (Tc-1,) AM-synch carrier filter
+    pilot_hist: jax.Array   # complex64 (Tp-1,) WFM stereo pilot filter
+    lr_hist: jax.Array      # complex64 (Ta-1,) WFM stereo L-R filter
+    disc_last2: jax.Array   # complex64 (2,) FM discriminator boundary
+    bfo_phase: jax.Array    # int32 () CW BFO NCO phase
+    deemph: jax.Array       # float32 (2,) L/R de-emphasis one-pole state
+    dc: jax.Array           # float32 (2,) DC blocker (x_prev, y_prev)
+    agc_env: jax.Array      # float32 () AGC envelope
+    sq_gate: jax.Array      # float32 () smoothed squelch gate
+
+
+class DemodParams(NamedTuple):
+    """Per-channel traced parameters (leading axis = channel when vmapped)."""
+    mode: jax.Array         # int32 () tables.Mode value
+    af_taps: jax.Array      # complex64 (Ta,) selected AF filter row
+    bfo_k: jax.Array        # int32 () CW beat NCO numerator @ fs_out
+    fm_scale: jax.Array     # float32 () discriminator output scaling
+    squelch_lin: jax.Array  # float32 () linear SNR threshold (0 = off)
+    af_gain: jax.Array      # float32 ()
+    agc_on: jax.Array       # bool ()
+
+
+@dataclasses.dataclass(frozen=True)
+class DemodDesign:
+    """Static (compile-time) demod configuration shared by all channels."""
+    fs_out: float
+    af_taps: int = 256
+    carrier_taps: int = 256     # AM-synch carrier recovery filter
+    carrier_bw_hz: float = 100.0
+    pilot_taps: int = 256
+    agc: agc_ops.AGCParams = agc_ops.AGCParams()
+    deemphasis_s: float = tables.WFM_DEEMPHASIS_S
+    dc_pole: float = 0.9985
+
+    def carrier_filter(self) -> np.ndarray:
+        """Narrow one-sided LP around DC for carrier recovery."""
+        return fir.complex_bandpass(-self.carrier_bw_hz, self.carrier_bw_hz,
+                                    self.fs_out, self.carrier_taps)
+
+    def pilot_filter(self) -> np.ndarray:
+        """One-sided bandpass at +19 kHz (WFM stereo pilot). Only
+        meaningful when fs_out >= ~48k; at lower rates it aliases but WFM
+        is configured at 192k like the reference."""
+        f0 = tables.WFM_PILOT_HZ
+        if self.fs_out / 2 <= f0 + 1e3:
+            h = np.zeros(self.pilot_taps, np.complex64)  # disabled
+            return h
+        return fir.complex_bandpass(f0 - 500.0, f0 + 500.0, self.fs_out,
+                                    self.pilot_taps)
+
+    def deemph_alpha(self) -> float:
+        return float(1.0 - np.exp(-1.0 / (self.fs_out * self.deemphasis_s)))
+
+
+def init_state(design: DemodDesign) -> DemodState:
+    c64 = jnp.complex64
+    return DemodState(
+        af_hist=jnp.zeros(design.af_taps - 1, c64),
+        carrier_hist=jnp.zeros(design.carrier_taps - 1, c64),
+        pilot_hist=jnp.zeros(design.pilot_taps - 1, c64),
+        lr_hist=jnp.zeros(design.af_taps - 1, c64),
+        disc_last2=jnp.zeros(2, c64),
+        bfo_phase=jnp.zeros((), jnp.int32),
+        deemph=jnp.zeros(2, jnp.float32),
+        dc=jnp.zeros(2, jnp.float32),
+        agc_env=agc_ops.init_state(),
+        sq_gate=jnp.ones((), jnp.float32),
+    )
+
+
+def _discriminate(iq, last2):
+    """Delay-conjugate quadrature FM detector (reference sigs/nfm.m:124-127):
+    d = x[n+1]-x[n-1]; fm = Re(y)Im(d) - Im(y)Re(d), amplitude-normalized.
+    One sample of latency; returns (fm (n,) float32, new_last2)."""
+    ext = jnp.concatenate([last2, iq])          # (n+2,)
+    y = ext[1:-1]
+    d = ext[2:] - ext[:-2]
+    num = y.real * d.imag - y.imag * d.real     # Im(conj(y)*d)
+    den = y.real * y.real + y.imag * y.imag + 1e-12
+    return num / den, ext[-2:]
+
+
+def demod_block(iq, state: DemodState, p: DemodParams, design: DemodDesign,
+                carrier_taps, pilot_taps):
+    """Demodulate one audio-rate block.
+
+    iq: complex64 (n,) baseband at fs_out. carrier_taps/pilot_taps are the
+    shared complex64 filter arrays from DemodDesign (passed in so they live
+    once, not per channel). Returns (audio complex64 (n,), new_state).
+    """
+    n = iq.shape[0]
+    mode = p.mode
+
+    # --- frontends (all computed; elementwise + 2 small FIRs) ---
+    env = jnp.abs(iq)                                        # AM
+    carrier, carrier_hist = resample.fir_block_cmpx(
+        iq, state.carrier_hist, carrier_taps)                # AM-synch
+    unit = carrier / (jnp.abs(carrier) + 1e-9)
+    z_ams = (iq * jnp.conj(unit)).real
+    bfo = nco.tone(p.bfo_k, state.bfo_phase, n)              # CW beat
+    bfo_phase = nco.advance(p.bfo_k, state.bfo_phase, n)
+    z_cw = iq * bfo
+    fm, disc_last2 = _discriminate(iq, state.disc_last2)     # NFM/WFM
+    z_fm = fm * p.fm_scale
+
+    # WFM stereo: pilot-locked 38 kHz subcarrier demod.
+    pilot, pilot_hist = resample.fir_block_cmpx(
+        fm.astype(jnp.complex64), state.pilot_hist, pilot_taps)
+    punit = pilot / (jnp.abs(pilot) + 1e-9)
+    c38 = (punit * punit).real                               # cos(2*pilot_ph)
+    lr_raw = (2.0 * fm * c38 * p.fm_scale).astype(jnp.complex64)
+    lr_f, lr_hist = resample.fir_block_cmpx(lr_raw, state.lr_hist, p.af_taps)
+    lr = lr_f.real
+
+    is_fm_wide = (mode == Mode.WFM) | (mode == Mode.WFM2)
+    is_ssb = (mode == Mode.USB) | (mode == Mode.LSB)
+    is_iq = (mode == Mode.IQ) | (mode == Mode.RTTY)
+
+    z = jnp.where(mode == Mode.AM, env.astype(jnp.complex64),
+        jnp.where(mode == Mode.AM_SYNC, z_ams.astype(jnp.complex64),
+        jnp.where(is_ssb | is_iq, iq,
+        jnp.where(mode == Mode.CW, z_cw,
+                  z_fm.astype(jnp.complex64)))))             # NFM/WFM/WFM2
+
+    # --- shared AF filter (complex taps row selects USB/LSB/lowpass) ---
+    y, af_hist = resample.fir_block_cmpx(z, state.af_hist, p.af_taps)
+    y = jnp.where(is_iq, z, y)   # IQ passthrough keeps raw baseband
+    mono = y.real
+
+    # --- WFM de-emphasis + stereo matrix ---
+    alpha = jnp.float32(design.deemph_alpha())
+    left_in = jnp.where(mode == Mode.WFM2, mono + lr, mono)
+    right_in = jnp.where(mode == Mode.WFM2, mono - lr, mono)
+    l_de, de_l = scanops.one_pole(left_in, alpha, state.deemph[0])
+    r_de, de_r = scanops.one_pole(right_in, alpha, state.deemph[1])
+    deemph = jnp.stack([de_l, de_r])
+    use_de = is_fm_wide
+    left = jnp.where(use_de, l_de, left_in)
+    right = jnp.where(use_de, r_de, right_in)
+    deemph = jnp.where(use_de, deemph, state.deemph)
+
+    # --- DC removal for AM/USB-family audio (reference receiver.py:250-252)
+    dc_on = (mode == Mode.AM) | (mode == Mode.AM_SYNC) | is_ssb | \
+            (mode == Mode.CW)
+    l_dc, (dcx, dcy) = scanops.dc_block(
+        left, jnp.float32(design.dc_pole), (state.dc[0], state.dc[1]))
+    left = jnp.where(dc_on, l_dc, left)
+    dc = jnp.where(dc_on, jnp.stack([dcx, dcy]), state.dc)
+
+    audio = jax.lax.complex(left, jnp.where(mode == Mode.WFM2, right,
+                                            jnp.where(is_iq, y.imag, 0.0)))
+
+    # --- squelch: signal vs residual power ratio (sigs/squelch.m idea) ---
+    sig_p = jnp.mean(jnp.abs(y) ** 2)
+    tot_p = jnp.mean(jnp.abs(z) ** 2)
+    snr_lin = sig_p / jnp.maximum(tot_p - sig_p, 1e-12)
+    want_open = (p.squelch_lin <= 0.0) | (snr_lin > p.squelch_lin)
+    gate = jnp.where(want_open, 1.0, 0.0).astype(jnp.float32)
+    sq_gate = 0.7 * state.sq_gate + 0.3 * gate  # block-rate smoothing
+    audio = audio * sq_gate
+
+    # --- AGC + gain ---
+    audio, agc_env, _ = agc_ops.agc_block(audio, state.agc_env, design.agc,
+                                          enabled=p.agc_on & ~is_iq)
+    audio = audio * p.af_gain
+
+    new_state = DemodState(
+        af_hist=af_hist, carrier_hist=carrier_hist, pilot_hist=pilot_hist,
+        lr_hist=lr_hist, disc_last2=disc_last2, bfo_phase=bfo_phase,
+        deemph=deemph, dc=dc, agc_env=agc_env, sq_gate=sq_gate)
+    return audio, new_state
+
+
+def make_params(design: DemodDesign, mode: Mode, af_bw_hz: float = 0.0,
+                bfo_hz: float = tables.CW_BFO_HZ, af_gain: float = 1.0,
+                squelch_db: float = -150.0, agc_on: bool = True,
+                deviation_hz: float | None = None) -> DemodParams:
+    """Host-side construction of one channel's DemodParams."""
+    fs = design.fs_out
+    if af_bw_hz <= 0:
+        af_bw_hz = tables.MODE_DEFAULT_AF_BW.get(mode, 0.0) or 0.45 * fs
+    af_bw_hz = min(af_bw_hz, 0.45 * fs)
+    if mode in (Mode.USB, Mode.CW):
+        taps = fir.complex_bandpass(50.0, af_bw_hz, fs, design.af_taps)
+        if mode == Mode.CW:
+            taps = fir.complex_bandpass(bfo_hz - af_bw_hz / 2,
+                                        bfo_hz + af_bw_hz / 2, fs,
+                                        design.af_taps)
+    elif mode == Mode.LSB:
+        taps = fir.complex_bandpass(-af_bw_hz, -50.0, fs, design.af_taps)
+    else:
+        taps = fir.lowpass(design.af_taps, af_bw_hz, fs).astype(np.complex64)
+    if deviation_hz is None:
+        deviation_hz = (tables.WFM_DEVIATION_HZ
+                        if mode in (Mode.WFM, Mode.WFM2)
+                        else tables.NFM_DEVIATION_HZ)
+    fm_scale = fs / (2.0 * 2.0 * np.pi * deviation_hz)
+    squelch_lin = 0.0 if squelch_db <= -149 else 10 ** (squelch_db / 10)
+    return DemodParams(
+        mode=jnp.int32(int(mode)),
+        af_taps=jnp.asarray(taps, jnp.complex64),
+        bfo_k=jnp.int32(nco.snap_freq(bfo_hz, fs)),
+        fm_scale=jnp.float32(fm_scale),
+        squelch_lin=jnp.float32(squelch_lin),
+        af_gain=jnp.float32(af_gain),
+        agc_on=jnp.asarray(agc_on),
+    )

@@ -1,0 +1,114 @@
+"""Numerically-exact NCO (numerically controlled oscillator) / quadrature mixer.
+
+Reference behavior: `dsp.signal_generator(f, chunk, fs).quad_mixer(x)` with
+frequencies snapped to multiples of SRATE/RB_SIZE so a precomputed LO table is
+periodic and phase never drifts (reference utils.py:277-289 `adjust_foffset`,
+receiver.py:552-556,822).
+
+TPU-native design: no table, no float phase accumulation. A frequency is an
+integer numerator `k` of cycles/sample over a fixed power-of-two denominator
+`DENOM`; the phase index is advanced with exact int32 modular arithmetic
+(hierarchically decomposed so no product overflows int32 — int64 requires
+jax x64 which we keep off). Phase error is therefore exactly zero over
+arbitrarily long streams; the only approximation is the one-time frequency
+snap of fs/DENOM (= 0.5 Hz at 2.048 Msps), strictly finer than the
+reference's SRATE/RB_SIZE snap (≈ 62 Hz at 2.048 Msps / 32k buffer).
+
+Angles are materialized per block on the VPU (cos/sin of an int-derived
+float32 that is exactly representable), so the mixer fuses with downstream
+FIR work under XLA or in the Pallas mix+decimate kernel.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Phase resolution: frequencies are k/DENOM cycles/sample, k int32.
+DENOM_BITS = 22
+DENOM = 1 << DENOM_BITS          # 4194304
+_L1 = 1 << 8                     # hierarchical index split: i = q2*L2 + q1*L1 + r
+_L2 = 1 << 16
+_TWO_PI = 2.0 * np.pi
+
+
+def snap_freq(freq_hz: float, fs: float) -> int:
+    """Snap a frequency to the NCO grid; returns the int numerator k.
+
+    Negative frequencies map to DENOM - |k| (mod arithmetic), so `k` is
+    always in [0, DENOM). Host-side (python ints), used at config build.
+    """
+    k = int(round(freq_hz / fs * DENOM)) % DENOM
+    return k
+
+
+def snapped_freq_hz(k, fs: float):
+    """Inverse of snap_freq (returns the realizable frequency in Hz)."""
+    k = np.asarray(k)
+    ks = np.where(k > DENOM // 2, k - DENOM, k)  # signed
+    return ks / DENOM * fs
+
+
+def phase_indices(k, p0, n: int):
+    """Exact phase indices ((p0 + k*i) mod DENOM for i in [0, n)) as int32.
+
+    `k`, `p0` may be traced int32 scalars; `n` is static. All intermediate
+    products stay below 2^31: k < 2^22, r < 2^8, q1 < 2^8, and the
+    level-stride numerators are reduced mod DENOM before multiplying.
+    Supports n up to 2^24 samples per block.
+    """
+    assert n <= (1 << 24), "block too large for 3-level int32 phase decomposition"
+    k = jnp.asarray(k, jnp.int32)
+    p0 = jnp.asarray(p0, jnp.int32)
+    i = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    r = i % _L1
+    q1 = (i // _L1) % (_L2 // _L1)
+    q2 = i // _L2
+    k_l1 = (k * _L1) % DENOM
+    k_l2 = (k_l1 * (_L2 // _L1)) % DENOM
+    term_r = (k * r) % DENOM
+    term1 = (k_l1 * q1) % DENOM
+    term2 = (k_l2 * q2) % DENOM
+    return (p0 + term_r + term1 + term2) % DENOM
+
+
+def advance(k, p0, n: int):
+    """New phase index after n samples: (p0 + k*n) mod DENOM, exactly."""
+    k = jnp.asarray(k, jnp.int32)
+    p0 = jnp.asarray(p0, jnp.int32)
+    r = n % _L1
+    q1 = (n // _L1) % (_L2 // _L1)
+    q2 = n // _L2
+    k_l1 = (k * _L1) % DENOM
+    k_l2 = (k_l1 * (_L2 // _L1)) % DENOM
+    return (p0 + (k * r) % DENOM + (k_l1 * q1) % DENOM
+            + (k_l2 * q2) % DENOM) % DENOM
+
+
+def lo_angles(k, p0, n: int):
+    """Block of LO phase angles in radians, float32, shape (n,)."""
+    idx = phase_indices(k, p0, n)
+    # idx < 2^22 < 2^24 so the int->float32 conversion is exact.
+    return idx.astype(jnp.float32) * jnp.float32(_TWO_PI / DENOM)
+
+
+def tone(k, p0, n: int):
+    """Complex LO block exp(+j 2π (p0 + k i)/DENOM), complex64 (n,).
+
+    The `signal_generator` equivalent (reference receiver.py:822 BFO)."""
+    th = lo_angles(k, p0, n)
+    return jax.lax.complex(jnp.cos(th), jnp.sin(th))
+
+
+def mix_down(x, k, p0):
+    """Quadrature downconvert: y[i] = x[i] * exp(-j 2π (p0 + k i)/DENOM).
+
+    Shifts a signal component at +f_k down to 0 Hz — the reference's
+    `lo.quad_mixer(x)` (receiver.py:553) with `lo.change_freq` folded into
+    the integer k. Returns (y, new_p0).
+    """
+    n = x.shape[-1]
+    th = lo_angles(k, p0, n)
+    lo = jax.lax.complex(jnp.cos(th), -jnp.sin(th))
+    return x * lo, advance(k, p0, n)

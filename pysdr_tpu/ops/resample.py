@@ -1,0 +1,152 @@
+"""Streaming polyphase rational resampler / decimator (pure JAX).
+
+The reference's decimator (`rx.dec`, external sig_proc; driven at reference
+receiver.py:553 and rate-planned at params.py:405-444) resamples each
+channel from the RF rate to the audio rate by a rational UP/DOWN with a
+selectable anti-alias ("video") filter. Here the whole polyphase computation
+is expressed as ONE strided `lax.conv_general_dilated` so XLA can tile it
+onto the MXU:
+
+  y[j*up + u] = sum_t  h_pp[p_u, t] * x[j*down + off_u - t]
+      with p_u = (u*down) % up,  off_u = floor(u*down/up)
+
+All `up` phases become output channels of a single conv with window
+L = down + Kp - 1 and stride `down` (weights are the phase taps scattered to
+their per-phase alignment). Real and imaginary parts ride the conv batch
+dimension. Streaming state is the last Kp-1 input samples, so chunked
+processing is bit-identical to whole-signal processing (the state-carry
+pattern the reference proves in sigs/iir.py:83-105).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def taps_per_phase(ntaps: int, up: int) -> int:
+    return -(-ntaps // up)  # ceil
+
+
+def pack_weights(h: np.ndarray, up: int, down: int) -> np.ndarray:
+    """Pack prototype taps h (ntaps,) into conv weights (up, 1, L) float32.
+
+    W[u, 0, off_u + Kp - 1 - t] = h[p_u + up*t]   (zero elsewhere)
+    so that a VALID conv with stride `down` over [hist | x] yields the
+    polyphase outputs in interleaved order. Host-side (numpy).
+    """
+    h = np.asarray(h, np.float32)
+    ntaps = h.shape[0]
+    kp = taps_per_phase(ntaps, up)
+    h_pad = np.zeros(up * kp, np.float32)
+    h_pad[:ntaps] = h
+    h_pp = h_pad.reshape(kp, up).T  # (up, kp): h_pp[p, t] = h[p + up*t]
+    L = down + kp - 1
+    W = np.zeros((up, 1, L), np.float32)
+    for u in range(up):
+        p_u = (u * down) % up
+        off_u = (u * down) // up
+        s = off_u + kp - 1 - np.arange(kp)
+        W[u, 0, s] = h_pp[p_u]
+    return W
+
+
+def pack_weight_bank(bank: np.ndarray, up: int, down: int) -> np.ndarray:
+    """Pack a filter bank (n_bw, ntaps) -> (n_bw, up, 1, L)."""
+    return np.stack([pack_weights(h, up, down) for h in bank])
+
+
+def history_len(ntaps: int, up: int) -> int:
+    """Input-rate history samples carried across blocks: Kp - 1."""
+    return taps_per_phase(ntaps, up) - 1
+
+
+@functools.partial(jax.jit, static_argnames=("up", "down"))
+def resample_block(x, hist, weights, *, up: int, down: int):
+    """Resample one block.
+
+    x       : complex64 (n,)  with n % down == 0
+    hist    : complex64 (Kp-1,)  previous block's tail (zeros at start)
+    weights : float32 (up, 1, L) from pack_weights (traced — bank row swap
+              does not recompile)
+    returns : (y complex64 (n*up//down,), new_hist (Kp-1,))
+    """
+    n = x.shape[0]
+    assert n % down == 0, (n, down)
+    kp_m1 = hist.shape[0]
+    xp = jnp.concatenate([hist, x])           # (n + Kp - 1,)
+    lhs = jnp.stack([xp.real, xp.imag])[:, None, :]  # (2, 1, n+Kp-1)
+    out = jax.lax.conv_general_dilated(
+        lhs, weights, window_strides=(down,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32,
+    )  # (2, up, n//down)
+    y2 = jnp.transpose(out, (0, 2, 1)).reshape(2, (n // down) * up)
+    y = jax.lax.complex(y2[0], y2[1])
+    new_hist = xp[n:] if kp_m1 > 0 else hist
+    return y, new_hist
+
+
+@functools.partial(jax.jit, static_argnames=("up", "down"))
+def resample_block_real(x, hist, weights, *, up: int, down: int):
+    """Real-input variant (float32 x) — used for WFM audio decimation."""
+    n = x.shape[0]
+    assert n % down == 0
+    kp_m1 = hist.shape[0]
+    xp = jnp.concatenate([hist, x])
+    lhs = xp[None, None, :]
+    out = jax.lax.conv_general_dilated(
+        lhs, weights, window_strides=(down,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32,
+    )  # (1, up, n//down)
+    y = jnp.transpose(out, (0, 2, 1)).reshape((n // down) * up)
+    new_hist = xp[n:] if kp_m1 > 0 else hist
+    return y, new_hist
+
+
+def fir_block(x, hist, taps):
+    """Same-rate streaming FIR (up=down=1) for real float32 taps on a
+    complex or real signal. taps: float32 (T,) in natural h[0..T-1] order;
+    y[i] = sum_t taps[t] * x[i-t]. hist: (T-1,) previous tail."""
+    t = taps.shape[0]
+    xp = jnp.concatenate([hist, x])
+    w = taps[::-1][None, None, :]
+    if jnp.iscomplexobj(xp):
+        lhs = jnp.stack([xp.real, xp.imag])[:, None, :]
+        out = jax.lax.conv_general_dilated(
+            lhs, w, window_strides=(1,), padding="VALID",
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            preferred_element_type=jnp.float32)
+        y = jax.lax.complex(out[0, 0], out[1, 0])
+    else:
+        out = jax.lax.conv_general_dilated(
+            xp[None, None, :], w, window_strides=(1,), padding="VALID",
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            preferred_element_type=jnp.float32)
+        y = out[0, 0]
+    new_hist = xp[x.shape[0]:] if t > 1 else hist
+    return y, new_hist
+
+
+def fir_block_cmpx(x, hist, taps_c):
+    """Same-rate streaming FIR with COMPLEX taps (one-sided SSB/CW filters,
+    reference receiver.py:874). x complex64; taps_c complex64 (T,)."""
+    t = taps_c.shape[0]
+    xp = jnp.concatenate([hist, x])
+    # (a+jb)*(c+jd): four real convs batched as one conv with 2 in-feats
+    # and 2 out-channels.
+    lhs = jnp.stack([xp.real, xp.imag])[None, :, :]        # (1, 2, n+T-1)
+    hr, hi = taps_c.real[::-1], taps_c.imag[::-1]
+    # out_real = hr*xr - hi*xi ; out_imag = hi*xr + hr*xi
+    w = jnp.stack([jnp.stack([hr, -hi]), jnp.stack([hi, hr])])  # (2,2,T)
+    out = jax.lax.conv_general_dilated(
+        lhs, w, window_strides=(1,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32)                 # (1, 2, n)
+    y = jax.lax.complex(out[0, 0], out[0, 1])
+    new_hist = xp[x.shape[0]:] if t > 1 else hist
+    return y, new_hist

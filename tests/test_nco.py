@@ -1,0 +1,66 @@
+import numpy as np
+import jax.numpy as jnp
+
+from pysdr_tpu.ops import nco
+
+
+def test_phase_indices_exact():
+    k = nco.snap_freq(100e3, 2.048e6)
+    n = 50000
+    idx = np.asarray(nco.phase_indices(k, 1234, n))
+    expect = (1234 + k * np.arange(n, dtype=np.int64)) % nco.DENOM
+    np.testing.assert_array_equal(idx, expect)
+
+
+def test_phase_indices_large_block_and_k():
+    # worst case: k near DENOM, block crossing all decomposition levels
+    k = nco.DENOM - 7
+    n = (1 << 17) + 513
+    idx = np.asarray(nco.phase_indices(k, nco.DENOM - 1, n))
+    expect = ((nco.DENOM - 1) + k * np.arange(n, dtype=np.int64)) % nco.DENOM
+    np.testing.assert_array_equal(idx, expect)
+
+
+def test_advance_matches_indices():
+    k = nco.snap_freq(-731e3, 8e6)
+    p = 0
+    for n in (256, 1000, 4096, 65536 + 3):
+        p2 = int(nco.advance(k, p, n))
+        assert p2 == (p + k * n) % nco.DENOM
+        p = p2
+
+
+def test_mix_down_shifts_tone_to_dc():
+    fs = 2.048e6
+    f = 250e3
+    k = nco.snap_freq(f, fs)
+    f_snap = float(nco.snapped_freq_hz(k, fs))
+    n = 65536
+    t = np.arange(n) / fs
+    x = np.exp(2j * np.pi * f_snap * t).astype(np.complex64)
+    y, p1 = nco.mix_down(jnp.asarray(x), k, 0)
+    y = np.asarray(y)
+    # after downconversion the tone sits at DC: nearly constant phase
+    assert np.abs(np.mean(y)) > 0.9999
+    assert int(p1) == (k * n) % nco.DENOM
+
+
+def test_mix_streaming_equals_batch():
+    fs = 2e6
+    k = nco.snap_freq(333e3, fs)
+    rng = np.random.default_rng(1)
+    x = (rng.standard_normal(8192) + 1j * rng.standard_normal(8192)
+         ).astype(np.complex64)
+    y_full, _ = nco.mix_down(jnp.asarray(x), k, 0)
+    p = 0
+    chunks = []
+    for i in range(0, 8192, 1024):
+        yc, p = nco.mix_down(jnp.asarray(x[i:i + 1024]), k, p)
+        chunks.append(np.asarray(yc))
+    np.testing.assert_allclose(np.concatenate(chunks), np.asarray(y_full),
+                               rtol=0, atol=1e-6)
+
+
+def test_tone_unit_amplitude():
+    z = np.asarray(nco.tone(nco.snap_freq(700.0, 48e3), 0, 4800))
+    np.testing.assert_allclose(np.abs(z), 1.0, atol=1e-6)
