@@ -11,7 +11,7 @@ channel streams via the ordinary receiver chain.
 
 Math (weighted overlap-add, critically sampled):
     v[m, r] = sum_k h[r + k*N] * x[(m-k)*N + r]      (branch filtering)
-    y[m, c] = sum_r v[m, r] * exp(+j 2*pi c r / N)   (= N * IFFT over r)
+    y[m, c] = sum_r v[m, r] * exp(-j 2*pi c r / N)   (= DFT over r)
 so channel c is x mixed down by c*fs/N and decimated by N. Branch filtering
 is one strided conv (N input feature channels) on the MXU; the channel
 transform is one batched FFT.
@@ -41,12 +41,12 @@ class ChannelizerDesign:
         return self.fs_in / self.n_channels
 
     def prototype(self) -> np.ndarray:
-        """Lowpass prototype, cutoff at half the channel spacing, gain N
-        (so a unit tone at a channel center comes out at unit amplitude)."""
+        """Lowpass prototype, cutoff at half the channel spacing, unity DC
+        gain (so a unit tone at a channel center comes out at unit
+        amplitude after the channel DFT)."""
         n, k = self.n_channels, self.taps_per_branch
-        h = fir.lowpass(n * k, 0.5 * self.fs_channel, self.fs_in,
-                        self.atten_db, scale=float(n))
-        return h
+        return fir.lowpass(n * k, 0.5 * self.fs_channel, self.fs_in,
+                           self.atten_db)
 
     def center_freqs_hz(self) -> np.ndarray:
         """Channel center frequencies (fftfreq order: 0, +, ..., -)."""
@@ -92,5 +92,5 @@ def channelize_block(x, hist, weights, *, n_channels: int):
         dimension_numbers=("NCH", "OIH", "NCH"),
         preferred_element_type=jnp.float32)          # (2, N, M)
     vc = jax.lax.complex(v[0], v[1]).T               # (M, N)
-    y = jnp.fft.ifft(vc, axis=-1) * nch              # channel transform
+    y = jnp.fft.fft(vc, axis=-1)                     # channel transform
     return y.astype(jnp.complex64), xp[n:]

@@ -51,7 +51,7 @@ class DemodState(NamedTuple):
     carrier_hist: jax.Array # complex64 (Tc-1,) AM-synch carrier filter
     pilot_hist: jax.Array   # complex64 (Tp-1,) WFM stereo pilot filter
     lr_hist: jax.Array      # complex64 (Ta-1,) WFM stereo L-R filter
-    disc_last2: jax.Array   # complex64 (2,) FM discriminator boundary
+    disc_last: jax.Array    # complex64 (1,) FM discriminator boundary
     bfo_phase: jax.Array    # int32 () CW BFO NCO phase
     deemph: jax.Array       # float32 (2,) L/R de-emphasis one-pole state
     dc: jax.Array           # float32 (2,) DC blocker (x_prev, y_prev)
@@ -109,7 +109,7 @@ def init_state(design: DemodDesign) -> DemodState:
         carrier_hist=jnp.zeros(design.carrier_taps - 1, c64),
         pilot_hist=jnp.zeros(design.pilot_taps - 1, c64),
         lr_hist=jnp.zeros(design.af_taps - 1, c64),
-        disc_last2=jnp.zeros(2, c64),
+        disc_last=jnp.zeros(1, c64),
         bfo_phase=jnp.zeros((), jnp.int32),
         deemph=jnp.zeros(2, jnp.float32),
         dc=jnp.zeros(2, jnp.float32),
@@ -118,16 +118,17 @@ def init_state(design: DemodDesign) -> DemodState:
     )
 
 
-def _discriminate(iq, last2):
-    """Delay-conjugate quadrature FM detector (reference sigs/nfm.m:124-127):
-    d = x[n+1]-x[n-1]; fm = Re(y)Im(d) - Im(y)Re(d), amplitude-normalized.
-    One sample of latency; returns (fm (n,) float32, new_last2)."""
-    ext = jnp.concatenate([last2, iq])          # (n+2,)
-    y = ext[1:-1]
-    d = ext[2:] - ext[:-2]
-    num = y.real * d.imag - y.imag * d.real     # Im(conj(y)*d)
-    den = y.real * y.real + y.imag * y.imag + 1e-12
-    return num / den, ext[-2:]
+def _discriminate(iq, last1):
+    """Phase-difference FM detector: fm[n] = angle(x[n] * conj(x[n-1])) in
+    rad/sample. The reference's delay-conjugate detector
+    (sigs/nfm.m:124-127) is the small-angle approximation of this (its
+    sin(w) response distorts badly at WFM deviations); atan2 is exact at
+    any deviation, amplitude-invariant, and pure VPU elementwise work.
+    Returns (fm (n,) float32, new_last1 (1,))."""
+    ext = jnp.concatenate([last1, iq])          # (n+1,)
+    prod = ext[1:] * jnp.conj(ext[:-1])
+    fm = jnp.arctan2(prod.imag, prod.real)
+    return fm, ext[-1:]
 
 
 def demod_block(iq, state: DemodState, p: DemodParams, design: DemodDesign,
@@ -150,7 +151,7 @@ def demod_block(iq, state: DemodState, p: DemodParams, design: DemodDesign,
     bfo = nco.tone(p.bfo_k, state.bfo_phase, n)              # CW beat
     bfo_phase = nco.advance(p.bfo_k, state.bfo_phase, n)
     z_cw = iq * bfo
-    fm, disc_last2 = _discriminate(iq, state.disc_last2)     # NFM/WFM
+    fm, disc_last = _discriminate(iq, state.disc_last)       # NFM/WFM
     z_fm = fm * p.fm_scale
 
     # WFM stereo: pilot-locked 38 kHz subcarrier demod.
@@ -206,7 +207,7 @@ def demod_block(iq, state: DemodState, p: DemodParams, design: DemodDesign,
     snr_lin = sig_p / jnp.maximum(tot_p - sig_p, 1e-12)
     want_open = (p.squelch_lin <= 0.0) | (snr_lin > p.squelch_lin)
     gate = jnp.where(want_open, 1.0, 0.0).astype(jnp.float32)
-    sq_gate = 0.7 * state.sq_gate + 0.3 * gate  # block-rate smoothing
+    sq_gate = 0.3 * state.sq_gate + 0.7 * gate  # block-rate smoothing
     audio = audio * sq_gate
 
     # --- AGC + gain ---
@@ -216,7 +217,7 @@ def demod_block(iq, state: DemodState, p: DemodParams, design: DemodDesign,
 
     new_state = DemodState(
         af_hist=af_hist, carrier_hist=carrier_hist, pilot_hist=pilot_hist,
-        lr_hist=lr_hist, disc_last2=disc_last2, bfo_phase=bfo_phase,
+        lr_hist=lr_hist, disc_last=disc_last, bfo_phase=bfo_phase,
         deemph=deemph, dc=dc, agc_env=agc_env, sq_gate=sq_gate)
     return audio, new_state
 
@@ -244,7 +245,7 @@ def make_params(design: DemodDesign, mode: Mode, af_bw_hz: float = 0.0,
         deviation_hz = (tables.WFM_DEVIATION_HZ
                         if mode in (Mode.WFM, Mode.WFM2)
                         else tables.NFM_DEVIATION_HZ)
-    fm_scale = fs / (2.0 * 2.0 * np.pi * deviation_hz)
+    fm_scale = fs / (2.0 * np.pi * deviation_hz)
     squelch_lin = 0.0 if squelch_db <= -149 else 10 ** (squelch_db / 10)
     return DemodParams(
         mode=jnp.int32(int(mode)),
