@@ -1,0 +1,138 @@
+"""IQ / baseband / demod recording and replay (.dat files).
+
+Equivalent of the reference `fileio.sdr_fileio(name, 'r'|'w', P)` with
+`.save_data/.read_data/.srate/.fc` (reference pySDR.py:117-123,
+receiver.py:526,759-761,808-813): every pipeline stage can be recorded and
+replayed through the full chain — the framework's integration-test oracle
+(SURVEY.md §4.1). The reference's exact binary header lives in the unmounted
+aa2il/libs repo (only hdr(1)=fs, hdr(4)=nchan are documented, sigs/iq.m:99-100
+and names like raw_iq_YYYYMMDD_HHMMSS.dat, sigs/nfm.m:47-52); this module
+defines a self-describing v1 container carrying the same information:
+
+  magic b'PSDRTPU1' | u32 header_bytes | JSON header
+  { fs, fc, nchan, dtype, tag, timestamp } | raw samples (little-endian)
+
+Samples are interleaved complex64 by default (nchan channels interleaved
+sample-major, like the reference's stereo packing).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import struct
+import time
+
+import numpy as np
+
+MAGIC = b"PSDRTPU1"
+
+
+def timestamped_name(tag: str, t: float | None = None) -> str:
+    """raw_iq_YYYYMMDD_HHMMSS.dat style names (reference replay:13-70)."""
+    lt = time.localtime(t if t is not None else time.time())
+    return f"{tag}_{time.strftime('%Y%m%d_%H%M%S', lt)}.dat"
+
+
+@dataclasses.dataclass
+class DatHeader:
+    fs: float
+    fc: float = 0.0
+    nchan: int = 1
+    dtype: str = "complex64"
+    tag: str = "raw_iq"
+    timestamp: float = 0.0
+
+
+class DatWriter:
+    """Streaming writer. `save_data` mirrors sdr_fileio.save_data
+    (reference receiver.py:759-761)."""
+
+    def __init__(self, path: str, fs: float, fc: float = 0.0, nchan: int = 1,
+                 dtype: str = "complex64", tag: str = "raw_iq"):
+        self.header = DatHeader(fs=fs, fc=fc, nchan=nchan, dtype=dtype,
+                                tag=tag, timestamp=time.time())
+        self.path = path
+        self._f = open(path, "wb")
+        hdr = json.dumps(dataclasses.asdict(self.header)).encode()
+        self._f.write(MAGIC + struct.pack("<I", len(hdr)) + hdr)
+        self.nsamples = 0
+
+    def save_data(self, x) -> int:
+        x = np.asarray(x)
+        if self.header.nchan > 1 and x.ndim == 2:
+            x = x.reshape(-1)  # interleave channel-last
+        x = x.astype(self.header.dtype, copy=False)
+        self._f.write(x.tobytes())
+        self.nsamples += x.size // self.header.nchan
+        return x.size
+
+    def close(self):
+        self._f.close()
+
+
+class DatReader:
+    """Replay reader with start-seek — `-replay FILE [start_sec]`
+    (reference params.py:55-56, utils.py:462-471)."""
+
+    def __init__(self, path: str, start_sec: float = 0.0):
+        self._f = open(path, "rb")
+        magic = self._f.read(8)
+        if magic != MAGIC:
+            raise ValueError(f"{path}: not a pysdr-tpu .dat file")
+        (hlen,) = struct.unpack("<I", self._f.read(4))
+        self.header = DatHeader(**json.loads(self._f.read(hlen)))
+        self._data_start = self._f.tell()
+        self._isize = np.dtype(self.header.dtype).itemsize * self.header.nchan
+        end = os.fstat(self._f.fileno()).st_size
+        self.nsamples = (end - self._data_start) // self._isize
+        if start_sec > 0:
+            self.seek_seconds(start_sec)
+
+    # reference-compatible attribute names (receiver.py:810-813)
+    @property
+    def srate(self) -> float:
+        return self.header.fs
+
+    @property
+    def fc(self) -> float:
+        return self.header.fc
+
+    def seek_seconds(self, t: float):
+        n = int(t * self.header.fs)
+        self._f.seek(self._data_start + n * self._isize)
+
+    def read_data(self, n: int | None = None, loop: bool = False):
+        """Read n frames (None = rest of file). loop=True wraps around for
+        endless benchmarking replay. Returns (n, nchan) or (n,) array."""
+        if n is None:
+            raw = self._f.read()
+        else:
+            raw = self._f.read(n * self._isize)
+            while loop and len(raw) < n * self._isize:
+                self._f.seek(self._data_start)
+                raw += self._f.read(n * self._isize - len(raw))
+        x = np.frombuffer(raw, dtype=self.header.dtype)
+        if self.header.nchan > 1:
+            x = x.reshape(-1, self.header.nchan)
+        return x
+
+    def close(self):
+        self._f.close()
+
+
+def write_dat(path: str, x, fs: float, fc: float = 0.0, tag: str = "raw_iq"):
+    x = np.asarray(x)
+    nchan = 1 if x.ndim == 1 else x.shape[1]
+    w = DatWriter(path, fs=fs, fc=fc, nchan=nchan, dtype=str(x.dtype),
+                  tag=tag)
+    w.save_data(x)
+    w.close()
+
+
+def read_dat(path: str):
+    r = DatReader(path)
+    x = r.read_data()
+    r.close()
+    return x, r.header
