@@ -27,6 +27,7 @@ import numpy as np
 
 from pysdr_tpu import config as cfg_mod
 from pysdr_tpu import tables
+from pysdr_tpu.ops import cplx
 from pysdr_tpu.ops import demod as demod_ops
 from pysdr_tpu.ops import fir, nco, resample
 from pysdr_tpu.tables import Mode
@@ -109,16 +110,18 @@ class ReceiverBank:
         self.video_bank = jnp.asarray(
             resample.pack_weight_bank(proto, d.up, d.down))
         self.video_proto = proto   # for the internals dump (receiver.py:864)
-        self.carrier_taps = jnp.asarray(d.demod.carrier_filter())
-        self.pilot_taps = jnp.asarray(d.demod.pilot_filter())
+        # complex constants stored PACKED (float (T,2)): complex64 must
+        # never cross a jit/device boundary on this backend (ops/cplx.py)
+        self.carrier_taps = jnp.asarray(cplx.pack(d.demod.carrier_filter()))
+        self.pilot_taps = jnp.asarray(cplx.pack(d.demod.pilot_filter()))
         self.emit_baseband = emit_baseband
 
         self._rx_cfgs = list(cfg.receivers)
         self.params = self._build_params()
-        self.state = self.init_state()
+        state_c = self.init_state()
+        self.state, self._state_mask = cplx.pack_tree(state_c)
 
-        step = functools.partial(self._step_impl)
-        self._step = jax.jit(step)
+        self._step = jax.jit(self._step_impl)
 
     # ---------- construction ----------
 
@@ -161,23 +164,44 @@ class ReceiverBank:
 
     # ---------- functional core ----------
 
-    def _step_impl(self, state, x, params):
+    def _step_impl(self, state_p, x_p, params):
+        """Packed-boundary step: state_p/x_p/audio are float32 re-im
+        pairs; complex64 exists only inside this jit."""
+        x = cplx.unpack(x_p)
+        state = cplx.unpack_tree(state_p, self._state_mask)
+
         def one(st, pr):
             return channel_step(x, st, pr, self.design, self.video_bank,
                                 self.carrier_taps, self.pilot_taps)
         audio, new_state, bb = jax.vmap(one)(state, params)
-        out = (audio, bb) if self.emit_baseband else (audio, None)
-        return new_state, out
+        new_state_p, _ = cplx.pack_tree(new_state)
+        out = (cplx.pack(audio), cplx.pack(bb) if self.emit_baseband
+               else None)
+        return new_state_p, out
 
     def step(self, x):
-        """Process one RF block (in_block complex64). Returns audio
-        (n_rx, out_block) complex64; advances internal state."""
-        self.state, (audio, bb) = self._step(self.state, x, self.params)
-        self._last_bb = bb
-        return audio
+        """Host convenience: process one RF block (in_block complex64 on
+        the host). Returns host audio (n_rx, out_block) complex64;
+        advances internal state."""
+        audio_p = self.step_device(self.to_device_block(x))
+        return cplx.to_host(audio_p)
 
-    def step_functional(self, state, x, params):
-        return self._step(state, x, params)
+    def to_device_block(self, x):
+        """Host complex block -> device packed pair (n, 2)."""
+        if jnp.iscomplexobj(x):
+            return jnp.asarray(cplx.pack(np.asarray(x)))
+        return jnp.asarray(x)
+
+    def step_device(self, x_p):
+        """Device-native step: x_p float32 (in_block, 2) packed; returns
+        packed audio (n_rx, out_block, 2) on device (no host transfer —
+        the bench path)."""
+        self.state, (audio_p, bb) = self._step(self.state, x_p, self.params)
+        self._last_bb = bb
+        return audio_p
+
+    def step_functional(self, state_p, x_p, params):
+        return self._step(state_p, x_p, params)
 
     # ---------- control plane (block-boundary mutations) ----------
 

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pysdr_tpu.ops import fir
+from pysdr_tpu.ops import cplx, fir
 
 
 @dataclasses.dataclass(frozen=True)
@@ -74,11 +74,15 @@ def history_len(design: ChannelizerDesign) -> int:
 def channelize_block(x, hist, weights, *, n_channels: int):
     """Split one block into N channel streams.
 
-    x: complex64 (n,), n % N == 0; hist: complex64 ((K-1)*N,);
-    weights: float32 (N, N, K) from pack_branch_weights.
-    Returns (y complex64 (n//N, N) — row m, channel c in fftfreq order,
-    new_hist).
+    x: complex64 (n,) or packed float32 (n, 2); hist likewise; weights:
+    float32 (N, N, K) from pack_branch_weights. Packed in -> packed out
+    (the TPU boundary format, ops/cplx.py).
+    Returns (y (n//N, N) — row m, channel c in fftfreq order, new_hist).
     """
+    packed = not jnp.iscomplexobj(x)
+    if packed:
+        x = cplx.unpack(x)
+        hist = cplx.unpack(hist)
     n = x.shape[0]
     nch = n_channels
     assert n % nch == 0
@@ -92,5 +96,8 @@ def channelize_block(x, hist, weights, *, n_channels: int):
         dimension_numbers=("NCH", "OIH", "NCH"),
         preferred_element_type=jnp.float32)          # (2, N, M)
     vc = jax.lax.complex(v[0], v[1]).T               # (M, N)
-    y = jnp.fft.fft(vc, axis=-1)                     # channel transform
-    return y.astype(jnp.complex64), xp[n:]
+    y = jnp.fft.fft(vc, axis=-1).astype(jnp.complex64)
+    new_hist = xp[n:]
+    if packed:
+        return cplx.pack(y), cplx.pack(new_hist)
+    return y, new_hist

@@ -40,7 +40,7 @@ import numpy as np
 
 from pysdr_tpu import tables
 from pysdr_tpu.ops import agc as agc_ops
-from pysdr_tpu.ops import fir, nco, resample, scanops
+from pysdr_tpu.ops import cplx, fir, nco, resample, scanops
 from pysdr_tpu.tables import Mode
 
 
@@ -62,7 +62,9 @@ class DemodState(NamedTuple):
 class DemodParams(NamedTuple):
     """Per-channel traced parameters (leading axis = channel when vmapped)."""
     mode: jax.Array         # int32 () tables.Mode value
-    af_taps: jax.Array      # complex64 (Ta,) selected AF filter row
+    af_taps: jax.Array      # float32 (Ta, 2) packed complex AF filter row
+                            # (complex64 never crosses jit boundaries on
+                            # this TPU backend — see ops/cplx.py)
     bfo_k: jax.Array        # int32 () CW beat NCO numerator @ fs_out
     fm_scale: jax.Array     # float32 () discriminator output scaling
     squelch_lin: jax.Array  # float32 () linear SNR threshold (0 = off)
@@ -141,6 +143,12 @@ def demod_block(iq, state: DemodState, p: DemodParams, design: DemodDesign,
     """
     n = iq.shape[0]
     mode = p.mode
+    af_taps = cplx.unpack(p.af_taps) if not jnp.iscomplexobj(p.af_taps) \
+        else p.af_taps
+    if not jnp.iscomplexobj(carrier_taps):
+        carrier_taps = cplx.unpack(carrier_taps)
+    if not jnp.iscomplexobj(pilot_taps):
+        pilot_taps = cplx.unpack(pilot_taps)
 
     # --- frontends (all computed; elementwise + 2 small FIRs) ---
     env = jnp.abs(iq)                                        # AM
@@ -160,7 +168,7 @@ def demod_block(iq, state: DemodState, p: DemodParams, design: DemodDesign,
     punit = pilot / (jnp.abs(pilot) + 1e-9)
     c38 = (punit * punit).real                               # cos(2*pilot_ph)
     lr_raw = (2.0 * fm * c38 * p.fm_scale).astype(jnp.complex64)
-    lr_f, lr_hist = resample.fir_block_cmpx(lr_raw, state.lr_hist, p.af_taps)
+    lr_f, lr_hist = resample.fir_block_cmpx(lr_raw, state.lr_hist, af_taps)
     lr = lr_f.real
 
     is_fm_wide = (mode == Mode.WFM) | (mode == Mode.WFM2)
@@ -174,7 +182,7 @@ def demod_block(iq, state: DemodState, p: DemodParams, design: DemodDesign,
                   z_fm.astype(jnp.complex64)))))             # NFM/WFM/WFM2
 
     # --- shared AF filter (complex taps row selects USB/LSB/lowpass) ---
-    y, af_hist = resample.fir_block_cmpx(z, state.af_hist, p.af_taps)
+    y, af_hist = resample.fir_block_cmpx(z, state.af_hist, af_taps)
     y = jnp.where(is_iq, z, y)   # IQ passthrough keeps raw baseband
     mono = y.real
 
@@ -249,7 +257,7 @@ def make_params(design: DemodDesign, mode: Mode, af_bw_hz: float = 0.0,
     squelch_lin = 0.0 if squelch_db <= -149 else 10 ** (squelch_db / 10)
     return DemodParams(
         mode=jnp.int32(int(mode)),
-        af_taps=jnp.asarray(taps, jnp.complex64),
+        af_taps=jnp.asarray(cplx.pack(np.asarray(taps, np.complex64))),
         bfo_k=jnp.int32(nco.snap_freq(bfo_hz, fs)),
         fm_scale=jnp.float32(fm_scale),
         squelch_lin=jnp.float32(squelch_lin),

@@ -16,6 +16,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from pysdr_tpu.ops import cplx
+
 
 @dataclasses.dataclass(frozen=True)
 class SpectrumDesign:
@@ -47,10 +49,13 @@ class SpectrumDesign:
 def periodogram(x, window, *, nfft: int, hop: int, average: bool = True):
     """Welch-style PSD of one block, fftshifted, in dB.
 
-    x: complex64 (n,), n >= nfft. Returns (nfft,) float32 if average else
+    x: complex64 (n,) or packed float32 (n, 2) (the TPU-side boundary
+    format, ops/cplx.py). Returns (nfft,) float32 if average else
     (nseg, nfft). Two-sided (complex input), matching the reference RF/BB
     panes; AF panes pass real audio cast to complex.
     """
+    if not jnp.iscomplexobj(x) and x.ndim == 2:
+        x = cplx.unpack(x)
     n = x.shape[0]
     nseg = max(1, (n - nfft) // hop + 1)
     idx = jnp.arange(nseg)[:, None] * hop + jnp.arange(nfft)[None, :]

@@ -1,0 +1,136 @@
+"""Stream-axis (time) parallelism: overlap-discard with halo exchange.
+
+The reference processes blocks strictly serially because FIR/NCO/AGC state
+carries across chunk boundaries (SURVEY.md §2.10, sigs/iir.py:83-105). The
+TPU design parallelizes time: a long IQ stream is cut into S contiguous
+segments, one per 'stream' mesh row; each segment is processed with
+
+  * an RF *halo* of H samples fetched from the left neighbor with
+    `lax.ppermute` over ICI (shard 0 gets zeros) — this warms up every FIR
+    history (resampler Kp-1, AF/carrier/pilot taps) and settles the
+    exponential-memory recurrences (AGC, DC, de-emphasis) before the
+    segment proper begins; the warm-up audio is discarded;
+  * an *analytic* NCO phase: the LO phase at sample index m is
+    (k*m) mod DENOM — a pure function of position (ops/nco.py), so no
+    serial dependency crosses shards at all (the CW BFO likewise, at the
+    audio rate).
+
+The result matches serial processing everywhere except inside the first
+halo (validated in tests/test_stream_parallel.py). This is the SDR analogue
+of ring-attention-style sequence parallelism: the only communication is a
+neighbor halo over ICI, once per segment.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from pysdr_tpu.models import receiver as rx_mod
+from pysdr_tpu.ops import cplx
+from pysdr_tpu.ops import demod as demod_ops
+from pysdr_tpu.ops import nco, resample
+
+
+def default_halo(design: rx_mod.ReceiverDesign, settle_sec: float = 0.2
+                 ) -> int:
+    """Halo length in RF samples: covers the resampler history, the AF-
+    filter warm-up mapped back to RF rate, and `settle_sec` of recurrence
+    settling; rounded up to a multiple of DOWN so polyphase alignment is
+    preserved. 0.2 s covers the slowest always-on recurrence (the DC
+    blocker, tau ~14 ms) with margin; with AGC enabled the envelope
+    tracker's decay (~1 s) is only approximately settled — acceptable
+    because AGC gain varies slowly by design (audio-SNR-level match)."""
+    kp = resample.taps_per_phase(design.video_taps, design.up)
+    af_rf = (design.demod.af_taps + design.demod.carrier_taps) \
+        * design.down // design.up
+    h = max(4 * kp, af_rf, int(settle_sec * design.fs_in))
+    return -(-h // design.down) * design.down
+
+
+def _shifted_phase(k, base_k_seg, base_k_halo, s):
+    """(k*(s*seg - H)) mod DENOM from precomputed per-unit advances."""
+    a = (base_k_seg * s) % nco.DENOM
+    return (a - base_k_halo + nco.DENOM) % nco.DENOM
+
+
+def make_stream_processor(bank: rx_mod.ReceiverBank, mesh: Mesh,
+                          seg: int, halo: int | None = None):
+    """Build a jitted sharded processor for fixed segment length.
+
+    Returns process(x, params) -> audio where x: float32 (S*seg, 2) packed
+    re/im pair sharded P('stream'), params: bank.params (leading channel
+    axis, sharded P('ch') if the mesh has a 'ch' axis), audio: packed
+    float32 (n_rx, S*seg*up/down, 2).
+    """
+    design = bank.design
+    d, u = design.down, design.up
+    assert seg % d == 0, (seg, d)
+    H = default_halo(design) if halo is None else halo
+    # The halo comes from the immediate left neighbor only, so it cannot
+    # exceed one segment; cap (keeping DOWN alignment).
+    H = min(H, seg)
+    assert H % d == 0
+    n_stream = mesh.shape["stream"]
+    has_ch = "ch" in mesh.shape and mesh.shape["ch"] > 1
+    video_bank = bank.video_bank
+    carrier_taps, pilot_taps = bank.carrier_taps, bank.pilot_taps
+    out_halo = H * u // d
+    aseg, ahalo = seg * u // d, out_halo
+
+    def shard_fn(x_local, params):
+        # x_local: float32 (seg, 2) packed pair — complex64 never crosses
+        # the jit boundary (ops/cplx.py). Halo exchange rides the pair.
+        tail = x_local[-H:]
+        perm = [(i, i + 1) for i in range(n_stream - 1)]
+        left_halo = jax.lax.ppermute(tail, "stream", perm)
+        xe = cplx.unpack(jnp.concatenate([left_halo, x_local]))  # (H+seg,)
+        s = jax.lax.axis_index("stream")
+
+        def one_channel(p: rx_mod.ChannelParams):
+            # analytic phases at segment start - H
+            k = p.nco_k
+            k_seg = nco.advance(k, 0, seg)
+            k_h = nco.advance(k, 0, H)
+            p0 = _shifted_phase(k, k_seg, k_h, s)
+            bk = p.demod.bfo_k
+            bk_seg = nco.advance(bk, 0, aseg)
+            bk_h = nco.advance(bk, 0, ahalo)
+            b0 = _shifted_phase(bk, bk_seg, bk_h, s)
+            st = rx_mod.ChannelState(
+                nco_phase=p0,
+                rs_hist=jnp.zeros(resample.history_len(design.video_taps, u),
+                                  jnp.complex64),
+                demod=demod_ops.init_state(design.demod)._replace(
+                    bfo_phase=b0))
+            audio, _, _ = rx_mod.channel_step(
+                xe, st, p, design, video_bank, carrier_taps, pilot_taps)
+            return cplx.pack(audio[out_halo:])          # drop warm-up
+
+        return jax.vmap(one_channel)(params)            # (C_local, aseg)
+
+    in_specs = (P("stream"), jax.tree.map(
+        lambda _: P("ch") if has_ch else P(), bank.params))
+    out_specs = P("ch", "stream") if has_ch else P(None, "stream")
+    sharded = jax.shard_map(shard_fn, mesh=mesh, in_specs=in_specs,
+                            out_specs=out_specs, check_vma=False)
+    return jax.jit(sharded), H
+
+
+def process_stream(bank: rx_mod.ReceiverBank, x, mesh: Mesh,
+                   halo: int | None = None):
+    """Convenience one-shot: shard a long IQ array over the mesh's stream
+    axis and process it. len(x) must divide evenly into stream shards with
+    segments that are multiples of DOWN."""
+    import numpy as np
+    n_stream = mesh.shape["stream"]
+    assert x.shape[0] % n_stream == 0
+    seg = x.shape[0] // n_stream
+    proc, H = make_stream_processor(bank, mesh, seg, halo)
+    if jnp.iscomplexobj(x):
+        x = jnp.asarray(cplx.pack(np.asarray(x)))
+    audio_p = proc(x, bank.params)
+    return cplx.to_host(audio_p)
