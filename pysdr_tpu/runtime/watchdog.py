@@ -1,0 +1,95 @@
+"""Ring-buffer watermark watchdog + latency logger.
+
+Equivalent of the reference `WatchDog.Monitor` (reference watchdog.py:
+ring-buffer latency EMA 165-173; high-water drop / low-water zero-fill
+188-201; dead-man ItsAlive timer 240-268; CSV latency log 176-227 analyzed
+by sigs/plot_latency.m). Runs as a plain repeating timer thread over the
+runtime ring buffers; self-healing keeps the audio sink between the low and
+high watermarks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+import time
+
+
+@dataclasses.dataclass
+class WatchdogStats:
+    tag: str
+    depth: float = 0.5
+    latency_ema_s: float = 0.0
+    drops: int = 0
+    zero_fills: int = 0
+    overflows: int = 0
+    underflows: int = 0
+
+
+class WatchDog:
+    def __init__(self, ring, fs: float, period_s: float = 2.0,
+                 low: float = 0.25, high: float = 0.75,
+                 target: float = 0.5, log_path: str | None = None,
+                 ema: float = 0.2):
+        self.ring, self.fs = ring, fs
+        self.period_s, self.low, self.high, self.target = \
+            period_s, low, high, target
+        self.stats = WatchdogStats(tag=ring.tag)
+        self._ema = ema
+        self._log = open(log_path, "a") if log_path else None
+        self._timer = None
+        self._stopped = threading.Event()
+        self.last_alive = time.monotonic()
+
+    def check_once(self):
+        """One monitor pass (reference Monitor body)."""
+        rb = self.ring
+        depth = rb.depth_fraction()
+        latency = rb.nsamps / self.fs
+        s = self.stats
+        s.depth = depth
+        s.latency_ema_s = ((1 - self._ema) * s.latency_ema_s
+                           + self._ema * latency)
+        s.overflows, s.underflows = rb.overflows, rb.underflows
+        if depth > self.high:        # high-water: drop to recentre
+            n = int((depth - self.target) * rb.size)
+            rb.drop(n)
+            s.drops += 1
+            self._log_event("HIGH", n)
+        elif depth < self.low:       # low-water: push zeros
+            n = int((self.target - depth) * rb.size)
+            rb.push_zeros(n)
+            s.zero_fills += 1
+            self._log_event("LOW", n)
+        if self._log:
+            self._log.write(f"{rb.tag},{time.time():.3f},{rb.nsamps},"
+                            f"{latency:.4f},{s.latency_ema_s:.4f}\n")
+            self._log.flush()
+        self.last_alive = time.monotonic()
+
+    def _log_event(self, kind, n):
+        if self._log:
+            self._log.write(f"#{kind},{self.ring.tag},{time.time():.3f},"
+                            f"{n}\n")
+
+    def alive(self, max_age_s: float | None = None) -> bool:
+        """Dead-man check (reference ItsAlive, watchdog.py:240-268)."""
+        max_age = max_age_s if max_age_s is not None else 3 * self.period_s
+        return (time.monotonic() - self.last_alive) < max_age
+
+    def start(self):
+        def tick():
+            if self._stopped.is_set():
+                return
+            self.check_once()
+            self._timer = threading.Timer(self.period_s, tick)
+            self._timer.daemon = True
+            self._timer.start()
+        tick()
+
+    def stop(self):
+        self._stopped.set()
+        if self._timer:
+            self._timer.cancel()
+        if self._log:
+            self._log.close()

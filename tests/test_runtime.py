@@ -1,0 +1,97 @@
+import numpy as np
+
+from pysdr_tpu.config import PipelineConfig, ReceiverConfig
+from pysdr_tpu.io import synth
+from pysdr_tpu.models.receiver import ReceiverBank
+from pysdr_tpu.runtime.executive import Executive
+from pysdr_tpu.runtime.ringbuffer import RingBuffer
+from pysdr_tpu.runtime.watchdog import WatchDog
+from pysdr_tpu.tables import Mode
+
+
+def test_ringbuffer_basic():
+    rb = RingBuffer("t", 16, "float32")
+    rb.push(np.arange(10, dtype=np.float32))
+    assert rb.nsamps == 10 and rb.ready(10) and not rb.ready(11)
+    out = rb.pull(6)
+    np.testing.assert_array_equal(out, np.arange(6))
+    rb.push(np.arange(10, 22, dtype=np.float32))  # wraps
+    out = rb.pull(16)
+    np.testing.assert_array_equal(out, np.arange(6, 22))
+
+
+def test_ringbuffer_overflow_drop_oldest():
+    rb = RingBuffer("t", 8, "float32")
+    rb.push(np.arange(6, dtype=np.float32))
+    rb.push(np.arange(6, 12, dtype=np.float32))
+    assert rb.overflows == 1
+    out = rb.pull(8)
+    np.testing.assert_array_equal(out, np.arange(4, 12))
+
+
+def test_ringbuffer_underflow_zero_pad():
+    rb = RingBuffer("t", 8, "float32")
+    rb.push(np.ones(3, np.float32))
+    out = rb.pull(5)
+    assert rb.underflows == 1
+    np.testing.assert_array_equal(out, [1, 1, 1, 0, 0])
+
+
+def test_watchdog_watermarks():
+    rb = RingBuffer("wd", 100, "float32")
+    wd = WatchDog(rb, fs=100.0)
+    rb.push(np.ones(90, np.float32))      # above high water
+    wd.check_once()
+    assert wd.stats.drops == 1
+    assert 0.3 < rb.depth_fraction() < 0.7
+    rb.clear()
+    rb.push(np.ones(5, np.float32))       # below low water
+    wd.check_once()
+    assert wd.stats.zero_fills == 1
+    assert 0.3 < rb.depth_fraction() < 0.7
+    assert wd.alive()
+
+
+def _mk_exec(**kw):
+    cfg = PipelineConfig(
+        fs_in=512e3, fs_out=48e3, out_block=1024, foffset_hz=60e3,
+        receivers=(ReceiverConfig(fc_hz=10e6, mode=Mode.AM,
+                                  agc_enabled=False),))
+    bank = ReceiverBank(cfg)
+    src = synth.SynthSource(
+        [synth.SignalSpec(offset_hz=60e3, mode="am", audio_hz=1000.0)],
+        fs=512e3)
+    return Executive(bank, src, **kw), bank
+
+
+def test_executive_runs_blocks_and_fills_rings():
+    ex, bank = _mk_exec()
+    prof = ex.run(n_blocks=5)
+    assert ex.n_blocks == 5
+    assert prof.n_blocks == 5
+    ring = ex.audio_rings[0]
+    assert ring.nsamps == 5 * bank.design.out_block
+    audio = ring.pull(ring.nsamps)
+    # tone present in the second half (first half settles)
+    a = audio.real[len(audio) // 2:]
+    assert np.std(a) > 0.05
+
+
+def test_executive_command_queue_applied_between_blocks():
+    ex, bank = _mk_exec()
+    ex.post("set_af_gain", 0, 3.0)
+    ex.run(n_blocks=2)
+    assert float(bank.params.demod.af_gain[0]) == 3.0
+
+
+def test_executive_record_tap(tmp_path):
+    from pysdr_tpu.io import datfile
+    ex, bank = _mk_exec()
+    w = datfile.DatWriter(str(tmp_path / "demod.dat"), fs=bank.design.fs_out,
+                          nchan=bank.n_rx, tag="demod")
+    ex.demod_writer = w
+    ex.run(n_blocks=3)
+    w.close()
+    x, hdr = datfile.read_dat(str(tmp_path / "demod.dat"))
+    assert hdr.tag == "demod"
+    assert len(x) == 3 * bank.design.out_block
