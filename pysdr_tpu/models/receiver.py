@@ -77,7 +77,7 @@ def channel_step(x, state: ChannelState, p: ChannelParams,
     (reference receiver.py:231-297). x: complex64 (in_block,) shared RF
     block. Returns (audio complex64 (out_block,), new_state)."""
     y, phase = nco.mix_down(x, p.nco_k, state.nco_phase)
-    w = video_bank[p.video_row]
+    w = jnp.asarray(video_bank)[p.video_row]
     bb, rs_hist = resample.resample_block(
         y, state.rs_hist, w, up=design.up, down=design.down)
     audio, dstate = demod_ops.demod_block(
@@ -107,13 +107,15 @@ class ReceiverBank:
                           if bw == 0.0 or bw <= d.fs_out]
         proto = fir.video_filter_bank(d.fs_in, d.up, d.down, self.video_bws,
                                       taps_per_phase=d.video_taps // d.up)
-        self.video_bank = jnp.asarray(
-            resample.pack_weight_bank(proto, d.up, d.down))
+        # Constants are kept as HOST numpy arrays: embedding a device
+        # array as a jit closure constant forces a device->host pull at
+        # lowering time, which this backend cannot do for some layouts;
+        # numpy constants are baked straight into the executable. Complex
+        # constants additionally stay packed float (ops/cplx.py).
+        self.video_bank = resample.pack_weight_bank(proto, d.up, d.down)
         self.video_proto = proto   # for the internals dump (receiver.py:864)
-        # complex constants stored PACKED (float (T,2)): complex64 must
-        # never cross a jit/device boundary on this backend (ops/cplx.py)
-        self.carrier_taps = jnp.asarray(cplx.pack(d.demod.carrier_filter()))
-        self.pilot_taps = jnp.asarray(cplx.pack(d.demod.pilot_filter()))
+        self.carrier_taps = cplx.pack(d.demod.carrier_filter())
+        self.pilot_taps = cplx.pack(d.demod.pilot_filter())
         self.emit_baseband = emit_baseband
 
         self._rx_cfgs = list(cfg.receivers)
@@ -175,16 +177,19 @@ class ReceiverBank:
                                 self.carrier_taps, self.pilot_taps)
         audio, new_state, bb = jax.vmap(one)(state, params)
         new_state_p, _ = cplx.pack_tree(new_state)
-        out = (cplx.pack(audio), cplx.pack(bb) if self.emit_baseband
-               else None)
+        # outputs flattened to 1-D: multi-dim jit outputs can get device
+        # layouts this backend cannot transfer to host (ops/cplx.py notes)
+        out = (cplx.pack(audio).reshape(-1),
+               cplx.pack(bb).reshape(-1) if self.emit_baseband else None)
         return new_state_p, out
 
     def step(self, x):
         """Host convenience: process one RF block (in_block complex64 on
         the host). Returns host audio (n_rx, out_block) complex64;
         advances internal state."""
-        audio_p = self.step_device(self.to_device_block(x))
-        return cplx.to_host(audio_p)
+        audio_flat = np.asarray(self.step_device(self.to_device_block(x)))
+        return cplx.unpack(
+            audio_flat.reshape(self.n_rx, self.design.out_block, 2))
 
     def to_device_block(self, x):
         """Host complex block -> device packed pair (n, 2)."""
@@ -194,8 +199,8 @@ class ReceiverBank:
 
     def step_device(self, x_p):
         """Device-native step: x_p float32 (in_block, 2) packed; returns
-        packed audio (n_rx, out_block, 2) on device (no host transfer —
-        the bench path)."""
+        packed audio flattened (n_rx*out_block*2,) on device (no host
+        transfer — the bench path)."""
         self.state, (audio_p, bb) = self._step(self.state, x_p, self.params)
         self._last_bb = bb
         return audio_p

@@ -1,0 +1,290 @@
+"""Wideband parallel RTTY decoder: FFT filterbank + batched matched filter.
+
+Reference behavior (reference rtty.py): up to 100 parallel 45.45-baud FSK
+decoders over one FFT filterbank — `RTTY_Params` T=22 ms, shift=170 Hz,
+4 samples/bit, NFFT=2^ceil(log2(N)) (rtty.py:376-404); `RTTY_Executive`
+pulls IQ, applies a Kaiser(8.6) window and 4 overlapped FFTs per symbol
+(rtty.py:834-845); per-channel decoders matched-filter ±1-bit templates of
+all 32 baudot symbols `score = H @ signal` (rtty.py:483-512), recover
+timing by integrated-score argmax (rtty.py:530-564), gate on per-symbol SNR
+(rtty.py:660-670) and run a LTRS/FIGS state machine (rtty.py:567-700).
+
+TPU-native design: the filterbank is a batched windowed rFFT over hop
+frames; ALL channels' mark/space soft bits become one tensor and the
+matched filter over (channel, timing, symbol) is a single batched matmul
+`scores = soft @ H.T` on the MXU — the reference's 100 per-channel Python
+loops collapse into one einsum. Only the per-character baudot FSM (a few
+chars/s of work) stays on the host.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pysdr_tpu.ops import cplx
+
+# ITA2 / Baudot code tables (LTRS and FIGS shifts), index = 5-bit code.
+BAUDOT_LTRS = [
+    '\x00', 'E', '\n', 'A', ' ', 'S', 'I', 'U',
+    '\r', 'D', 'R', 'J', 'N', 'F', 'C', 'K',
+    'T', 'Z', 'L', 'W', 'H', 'Y', 'P', 'Q',
+    'O', 'B', 'G', '\x0f', 'M', 'X', 'V', '\x0e']
+BAUDOT_FIGS = [
+    '\x00', '3', '\n', '-', ' ', "'", '8', '7',
+    '\r', '$', '4', '\x07', ',', '!', ':', '(',
+    '5', '+', ')', '2', '#', '6', '0', '1',
+    '9', '?', '&', '\x0f', '.', '/', ';', '\x0e']
+LTRS_CODE, FIGS_CODE = 31, 27
+
+
+@dataclasses.dataclass(frozen=True)
+class RTTYDesign:
+    """Static decoder design (reference RTTY_Params, rtty.py:376-404)."""
+    fs: float                      # baseband sample rate
+    baud: float = 45.45
+    shift_hz: float = 170.0
+    frames_per_bit: int = 4        # 4 overlapped FFTs per bit
+    max_channels: int = 100
+    kaiser_beta: float = 8.6
+
+    @property
+    def bit_len(self) -> int:
+        """Samples per bit."""
+        return int(round(self.fs / self.baud))
+
+    @property
+    def nfft(self) -> int:
+        """Window = one bit period, padded to a power of two."""
+        n = self.bit_len
+        return 1 << int(np.ceil(np.log2(n)))
+
+    @property
+    def hop(self) -> int:
+        return self.bit_len // self.frames_per_bit
+
+    @property
+    def bin_hz(self) -> float:
+        return self.fs / self.nfft
+
+    @property
+    def shift_bins(self) -> int:
+        return max(1, int(round(self.shift_hz / self.bin_hz)))
+
+    def window(self) -> np.ndarray:
+        w = np.kaiser(self.bit_len, self.kaiser_beta)
+        return (w / w.sum()).astype(np.float32)
+
+    # character frame: 1 start bit (space) + 5 data + 2 stop bits (mark)
+    @property
+    def bits_per_char(self) -> int:
+        return 8
+
+    @property
+    def frames_per_char(self) -> int:
+        return self.bits_per_char * self.frames_per_bit
+
+
+def char_templates(design: RTTYDesign) -> np.ndarray:
+    """(32, frames_per_char) ±1 templates: start=space(-1), 5 data bits
+    LSB-first (mark=+1 for 1), stop=mark(+1). The reference's per-decoder
+    template bank (rtty.py:483-512) shared by all channels."""
+    fpb = design.frames_per_bit
+    rows = []
+    for code in range(32):
+        bits = [-1.0] + [(1.0 if (code >> b) & 1 else -1.0)
+                         for b in range(5)] + [1.0, 1.0]
+        rows.append(np.repeat(bits, fpb))
+    return np.asarray(rows, np.float32)
+
+
+def filterbank_block(x_packed, design: RTTYDesign, window):
+    """Windowed overlapped FFTs: packed IQ (n, 2) -> magnitude spectra
+    (n_frames, nfft) float32, frames at `hop` spacing (4 per bit)."""
+    x = cplx.unpack(x_packed) if not jnp.iscomplexobj(x_packed) else x_packed
+    n = x.shape[0]
+    bl, hop, nfft = design.bit_len, design.hop, design.nfft
+    n_frames = (n - bl) // hop + 1
+    idx = jnp.arange(n_frames)[:, None] * hop + jnp.arange(bl)[None, :]
+    segs = x[idx] * window[None, :]
+    spec = jnp.fft.fft(segs, n=nfft, axis=-1)
+    return jnp.abs(spec).astype(jnp.float32)
+
+
+def soft_bits(mags, mark_bins, space_bins):
+    """Per-channel FSK soft decision from filterbank magnitudes.
+    mags: (n_frames, nfft); mark/space_bins: (n_ch,) int32.
+    Returns (n_frames, n_ch) in [-1, 1]: +1 = mark."""
+    mark = mags[:, mark_bins]
+    space = mags[:, space_bins]
+    return (mark - space) / (mark + space + 1e-9)
+
+
+def matched_scores(soft, templates):
+    """scores[f, c, s] = sum_t soft[f+t, c] * templates[s, t] — every
+    (frame offset, channel, symbol) at once: ONE matmul on the MXU
+    (the reference's 100-decoder loop, rtty.py:850-853)."""
+    n_frames, n_ch = soft.shape
+    L = templates.shape[1]
+    n_off = n_frames - L + 1
+    idx = jnp.arange(n_off)[:, None] + jnp.arange(L)[None, :]
+    windows = soft[idx]                                # (n_off, L, n_ch)
+    w2 = windows.transpose(0, 2, 1).reshape(n_off * n_ch, L)
+    sc = jnp.dot(w2, templates.T,
+                 preferred_element_type=jnp.float32)   # (n_off*n_ch, 32)
+    return sc.reshape(n_off, n_ch, templates.shape[0])
+
+
+class RTTYDecoder:
+    """Host-driven streaming decoder over the device filterbank/matmul.
+
+    detect_channels: pick carrier candidates from the average spectrum
+    (reference find_sigs scan, rtty.py:744-776). decode_block: per channel,
+    slice symbol windows on the recovered clock, argmax matched scores,
+    SNR-gate, and feed the baudot FSM (rtty.py:567-700).
+    """
+
+    def __init__(self, design: RTTYDesign):
+        self.design = design
+        self.window = jnp.asarray(design.window())
+        self.templates = jnp.asarray(char_templates(design))
+        self.channels: list[dict] = []   # {bin, clock_phase, figs, text}
+        self._soft_tail = None
+
+    def detect_channels(self, mags_np: np.ndarray, thresh_db: float = 10.0):
+        """Find FSK pairs: peaks separated by shift_bins above the median
+        floor. mags_np: (n_frames, nfft) host array."""
+        d = self.design
+        avg = mags_np.mean(axis=0)
+        floor = np.median(avg)
+        sb = d.shift_bins
+        cand = []
+        # score each possible mark bin by joint mark+space prominence
+        joint = avg + np.roll(avg, sb)   # mark at b, space at b - shift
+        order = np.argsort(joint)[::-1]
+        used = np.zeros(len(avg), bool)
+        for b in order:
+            if len(cand) >= d.max_channels:
+                break
+            sp = (b - sb) % len(avg)
+            if used[b] or used[sp]:
+                continue
+            if 20 * np.log10(avg[b] / floor + 1e-12) < thresh_db or \
+               20 * np.log10(avg[sp] / floor + 1e-12) < thresh_db:
+                continue
+            lo = max(0, b - 2 * sb)
+            used[lo:b + 2 * sb] = True
+            cand.append(int(b))
+        self.channels = [{"mark_bin": b, "figs": False, "text": "",
+                          "snr_db": 0.0} for b in sorted(cand)]
+        return [c["mark_bin"] for c in self.channels]
+
+    def decode_block(self, x_packed) -> list[str]:
+        """Process one baseband block; returns newly decoded text per
+        channel. Device: filterbank + soft bits + matched scores; host:
+        symbol slicing + baudot FSM."""
+        d = self.design
+        mags = filterbank_block(x_packed, d, self.window)
+        if not self.channels:
+            self.detect_channels(np.asarray(mags))
+            if not self.channels:
+                return []
+        nfft = d.nfft
+        mark_bins = jnp.asarray([c["mark_bin"] for c in self.channels],
+                                jnp.int32)
+        space_bins = (mark_bins - d.shift_bins) % nfft
+        soft = soft_bits(mags, mark_bins, space_bins)
+        soft_np = np.asarray(soft)                    # (n_frames, n_ch)
+        if self._soft_tail is not None:
+            soft_np = np.concatenate([self._soft_tail, soft_np])
+        fpc = d.frames_per_char
+        keep = 2 * fpc
+        self._soft_tail = soft_np[-keep:].copy()
+        sc = np.asarray(matched_scores(jnp.asarray(soft_np),
+                                       self.templates))  # (n_off, n_ch, 32)
+        out = []
+        for ci, ch in enumerate(self.channels):
+            out.append(self._decode_channel(sc[:, ci, :], ch))
+        return out
+
+    def _decode_channel(self, scores: np.ndarray, ch: dict) -> str:
+        """Greedy symbol-synchronous decode: at each character period pick
+        the offset with the best score in a ±fpb window (timing recovery by
+        score argmax, rtty.py:530-564)."""
+        d = self.design
+        fpc, fpb = d.frames_per_char, d.frames_per_bit
+        text = []
+        pos = ch.get("pos", 0)
+        n_off = scores.shape[0]
+        while pos + fpb <= n_off - 1:
+            lo, hi = pos, min(pos + fpb, n_off)
+            win = scores[lo:hi]
+            best = np.unravel_index(np.argmax(win), win.shape)
+            off, sym = lo + best[0], int(best[1])
+            peak = win[best]
+            # SNR gate: best must beat the mean alternative decisively
+            if peak - np.mean(scores[off]) > 0.25 * fpc:
+                text.append(self._baudot(sym, ch))
+                pos = off + fpc
+            else:
+                pos += fpc
+        ch["pos"] = max(0, pos - scores.shape[0])
+        s = "".join(t for t in text if t)
+        ch["text"] += s
+        return s
+
+    @staticmethod
+    def _baudot(code: int, ch: dict) -> str:
+        if code == LTRS_CODE:
+            ch["figs"] = False
+            return ""
+        if code == FIGS_CODE:
+            ch["figs"] = True
+            return ""
+        table = BAUDOT_FIGS if ch["figs"] else BAUDOT_LTRS
+        c = table[code]
+        return c if c not in ("\x00", "\x0e", "\x0f") else ""
+
+
+def synthesize_rtty(text: str, design: RTTYDesign, carrier_hz: float,
+                    amplitude: float = 1.0, snr_db: float | None = None,
+                    seed: int = 0) -> np.ndarray:
+    """Generate a baudot FSK baseband signal for tests (the reference
+    validates against recorded RTTY captures with known content, rtty:1-40)."""
+    d = design
+    ltrs = {c: i for i, c in enumerate(BAUDOT_LTRS)}
+    figs = {c: i for i, c in enumerate(BAUDOT_FIGS)}
+    bits = [1.0] * (4 * d.bits_per_char)  # idle mark
+    in_figs = False
+    for c in text.upper():
+        if c in ltrs:
+            if in_figs:
+                code, in_figs = LTRS_CODE, False
+                bits += [-1.0] + [(1.0 if (code >> b) & 1 else -1.0)
+                                  for b in range(5)] + [1.0, 1.0]
+            code = ltrs[c]
+        elif c in figs:
+            if not in_figs:
+                code, in_figs = FIGS_CODE, True
+                bits += [-1.0] + [(1.0 if (code >> b) & 1 else -1.0)
+                                  for b in range(5)] + [1.0, 1.0]
+            code = figs[c]
+        else:
+            continue
+        bits += [-1.0] + [(1.0 if (code >> b) & 1 else -1.0)
+                          for b in range(5)] + [1.0, 1.0]
+    bits += [1.0] * (4 * d.bits_per_char)
+    sig = np.repeat(bits, d.bit_len)
+    f_dev = d.shift_hz / 2.0
+    inst = carrier_hz - f_dev + (np.asarray(sig) * 0.5 + 0.5) * d.shift_hz
+    phase = 2 * np.pi * np.cumsum(inst) / d.fs
+    x = amplitude * np.exp(1j * phase)
+    if snr_db is not None:
+        rng = np.random.default_rng(seed)
+        npow = amplitude ** 2 / (10 ** (snr_db / 10))
+        x = x + np.sqrt(npow / 2) * (rng.standard_normal(len(x))
+                                     + 1j * rng.standard_normal(len(x)))
+    return x.astype(np.complex64)

@@ -64,6 +64,20 @@ def history_len(ntaps: int, up: int) -> int:
     return taps_per_phase(ntaps, up) - 1
 
 
+def _frames(xp, m: int, down: int, L: int):
+    """F[j, s] = xp[j*down + s] for j in [0, m), s in [0, L) — built from
+    row-block reshapes (pure layout ops, no gather/conv): pad xp to
+    (m+q)*down, reshape to rows of `down`, and concatenate q row-shifted
+    views. XLA lowers this to copies; the Pallas kernel (ops/pallas/)
+    avoids even those by streaming."""
+    q = -(-L // down)  # ceil
+    need = (m + q) * down
+    xp = jnp.concatenate([xp, jnp.zeros(need - xp.shape[0], xp.dtype)])
+    X = xp.reshape(m + q, down)
+    F = jnp.concatenate([X[t:t + m] for t in range(q)], axis=1)
+    return F[:, :L]
+
+
 @functools.partial(jax.jit, static_argnames=("up", "down"))
 def resample_block(x, hist, weights, *, up: int, down: int):
     """Resample one block.
@@ -73,19 +87,24 @@ def resample_block(x, hist, weights, *, up: int, down: int):
     weights : float32 (up, 1, L) from pack_weights (traced — bank row swap
               does not recompile)
     returns : (y complex64 (n*up//down,), new_hist (Kp-1,))
+
+    Implementation note: formulated as frames @ weights.T (one small
+    matmul) rather than a strided conv — the XLA TPU conv emitter in this
+    environment takes pathologically long to compile window=down+Kp-1 /
+    stride=down convs, while the framed matmul compiles in seconds and
+    runs on the MXU/VPU directly.
     """
     n = x.shape[0]
     assert n % down == 0, (n, down)
     kp_m1 = hist.shape[0]
+    L = weights.shape[-1]
+    w2 = weights[:, 0, :].T                   # (L, up)
     xp = jnp.concatenate([hist, x])           # (n + Kp - 1,)
-    lhs = jnp.stack([xp.real, xp.imag])[:, None, :]  # (2, 1, n+Kp-1)
-    out = jax.lax.conv_general_dilated(
-        lhs, weights, window_strides=(down,), padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        preferred_element_type=jnp.float32,
-    )  # (2, up, n//down)
-    y2 = jnp.transpose(out, (0, 2, 1)).reshape(2, (n // down) * up)
-    y = jax.lax.complex(y2[0], y2[1])
+    m = n // down
+    F = _frames(xp, m, down, L)               # (m, L) complex
+    yr = jnp.dot(F.real, w2, preferred_element_type=jnp.float32)
+    yi = jnp.dot(F.imag, w2, preferred_element_type=jnp.float32)
+    y = jax.lax.complex(yr, yi).reshape(m * up)
     new_hist = xp[n:] if kp_m1 > 0 else hist
     return y, new_hist
 
@@ -96,14 +115,12 @@ def resample_block_real(x, hist, weights, *, up: int, down: int):
     n = x.shape[0]
     assert n % down == 0
     kp_m1 = hist.shape[0]
+    L = weights.shape[-1]
+    w2 = weights[:, 0, :].T
     xp = jnp.concatenate([hist, x])
-    lhs = xp[None, None, :]
-    out = jax.lax.conv_general_dilated(
-        lhs, weights, window_strides=(down,), padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        preferred_element_type=jnp.float32,
-    )  # (1, up, n//down)
-    y = jnp.transpose(out, (0, 2, 1)).reshape((n // down) * up)
+    m = n // down
+    F = _frames(xp, m, down, L)
+    y = jnp.dot(F, w2, preferred_element_type=jnp.float32).reshape(m * up)
     new_hist = xp[n:] if kp_m1 > 0 else hist
     return y, new_hist
 

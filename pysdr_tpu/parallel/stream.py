@@ -133,4 +133,4 @@ def process_stream(bank: rx_mod.ReceiverBank, x, mesh: Mesh,
     if jnp.iscomplexobj(x):
         x = jnp.asarray(cplx.pack(np.asarray(x)))
     audio_p = proc(x, bank.params)
-    return cplx.to_host(audio_p)
+    return cplx.unpack(np.asarray(audio_p))

@@ -103,7 +103,8 @@ class Executive:
                 t_start = time.monotonic()
                 audio_p = self.bank.step_device(nxt)   # async dispatch
                 nxt = read_block()                     # overlap host read
-                audio = cplx.to_host(audio_p)          # sync point
+                audio = cplx.unpack(np.asarray(audio_p).reshape(
+                    self.bank.n_rx, d.out_block, 2))   # sync point
             for i, ring in enumerate(self.audio_rings):
                 ring.push(audio[i])
             if self.demod_writer is not None:
