@@ -153,6 +153,7 @@ class RTTYDecoder:
         self.templates = jnp.asarray(char_templates(design))
         self.channels: list[dict] = []   # {bin, clock_phase, figs, text}
         self._soft_tail = None
+        self._iq_tail = None             # keeps frames hop-aligned across blocks
 
     def detect_channels(self, mags_np: np.ndarray, thresh_db: float = 10.0):
         """Find FSK pairs: peaks separated by shift_bins above the median
@@ -187,7 +188,18 @@ class RTTYDecoder:
         channel. Device: filterbank + soft bits + matched scores; host:
         symbol slicing + baudot FSM."""
         d = self.design
-        mags = filterbank_block(x_packed, d, self.window)
+        x = cplx.unpack(np.asarray(x_packed)) \
+            if not np.iscomplexobj(np.asarray(x_packed)) else np.asarray(x_packed)
+        if self._iq_tail is not None:
+            x = np.concatenate([self._iq_tail, x])
+        bl, hop = d.bit_len, d.hop
+        n_frames = (len(x) - bl) // hop + 1
+        if n_frames < 1:
+            self._iq_tail = x
+            return ["" for _ in self.channels]
+        consumed = n_frames * hop
+        self._iq_tail = x[consumed:].copy()
+        mags = filterbank_block(cplx.pack(x), d, self.window)
         if not self.channels:
             self.detect_channels(np.asarray(mags))
             if not self.channels:
@@ -198,40 +210,61 @@ class RTTYDecoder:
         space_bins = (mark_bins - d.shift_bins) % nfft
         soft = soft_bits(mags, mark_bins, space_bins)
         soft_np = np.asarray(soft)                    # (n_frames, n_ch)
+        # persistent soft-bit buffer so characters straddling block edges
+        # decode intact (the reference's prev-symbol concat, rtty.py:825-831)
         if self._soft_tail is not None:
             soft_np = np.concatenate([self._soft_tail, soft_np])
         fpc = d.frames_per_char
         keep = 2 * fpc
-        self._soft_tail = soft_np[-keep:].copy()
         sc = np.asarray(matched_scores(jnp.asarray(soft_np),
                                        self.templates))  # (n_off, n_ch, 32)
         out = []
         for ci, ch in enumerate(self.channels):
             out.append(self._decode_channel(sc[:, ci, :], ch))
+        # trim consumed frames; shift channel positions into the kept tail
+        trim = max(0, len(soft_np) - keep)
+        self._soft_tail = soft_np[trim:].copy()
+        for ch in self.channels:
+            ch["pos"] = max(0, ch.get("pos", 0) - trim)
         return out
 
     def _decode_channel(self, scores: np.ndarray, ch: dict) -> str:
-        """Greedy symbol-synchronous decode: at each character period pick
-        the offset with the best score in a ±fpb window (timing recovery by
-        score argmax, rtty.py:530-564)."""
+        """Symbol-synchronous decode with per-character timing recovery:
+        search the full character period for the best-matching (offset,
+        symbol), emit if the normalized score clears the gate, then jump
+        one character (the reference's integrated-score argmax timing,
+        rtty.py:530-564, per character instead of per window)."""
         d = self.design
-        fpc, fpb = d.frames_per_char, d.frames_per_bit
+        fpc = d.frames_per_char
+        gate = 0.5 * fpc            # perfect match scores ~fpc
         text = []
         pos = ch.get("pos", 0)
+        locked = ch.get("locked", False)
+        misses = ch.get("misses", 0)
         n_off = scores.shape[0]
-        while pos + fpb <= n_off - 1:
-            lo, hi = pos, min(pos + fpb, n_off)
+        while pos + 1 < n_off:
+            # acquisition: search a whole character period; once locked,
+            # only a ±1-frame jitter window so shift chars can't be skipped
+            span = 3 if locked else fpc
+            lo = max(0, pos - 1) if locked else pos
+            hi = min(lo + span, n_off)
+            if hi <= lo:
+                break
             win = scores[lo:hi]
             best = np.unravel_index(np.argmax(win), win.shape)
-            off, sym = lo + best[0], int(best[1])
-            peak = win[best]
-            # SNR gate: best must beat the mean alternative decisively
-            if peak - np.mean(scores[off]) > 0.25 * fpc:
+            off, sym = lo + int(best[0]), int(best[1])
+            if win[best] > gate:
                 text.append(self._baudot(sym, ch))
                 pos = off + fpc
+                locked, misses = True, 0
             else:
                 pos += fpc
-        ch["pos"] = max(0, pos - scores.shape[0])
+                if locked:
+                    misses += 1
+                    if misses >= 2:
+                        locked, misses = False, 0
+        ch["pos"] = pos   # absolute in the soft buffer; caller trims
+        ch["locked"], ch["misses"] = locked, misses
         s = "".join(t for t in text if t)
         ch["text"] += s
         return s
