@@ -1,0 +1,153 @@
+"""Control plane: hamlib server/client, UDP protocol, hopper, presets."""
+
+import time
+
+import numpy as np
+import pytest
+
+from pysdr_tpu.config import PipelineConfig, ReceiverConfig
+from pysdr_tpu.io import synth
+from pysdr_tpu.models.receiver import ReceiverBank
+from pysdr_tpu.runtime import hamlib, hopper, presets, rig, udp
+from pysdr_tpu.runtime.executive import Executive
+from pysdr_tpu.tables import Mode
+
+
+def _mk_exec():
+    cfg = PipelineConfig(
+        fs_in=512e3, fs_out=48e3, out_block=1024, foffset_hz=60e3,
+        receivers=(ReceiverConfig(fc_hz=10e6, mode=Mode.AM),))
+    bank = ReceiverBank(cfg)
+    src = synth.SynthSource(
+        [synth.SignalSpec(offset_hz=60e3, mode="am")], fs=512e3)
+    return Executive(bank, src), bank
+
+
+def test_hamlib_server_roundtrip():
+    ex, bank = _mk_exec()
+    srv = hamlib.HamlibServer(ex, 0, port=0)  # ephemeral port
+    srv.start()
+    try:
+        port = srv.server.server_address[1]
+        assert hamlib.rigctl_request(port, "f").strip() == "10000000"
+        assert hamlib.rigctl_request(port, "F 7074000").strip() == "RPRT 0"
+        assert hamlib.rigctl_request(port, "M USB 2400").strip() == "RPRT 0"
+        ex.run(n_blocks=1)  # applies queued commands
+        assert bank._rx_cfgs[0].fc_hz == 7074000
+        assert bank._rx_cfgs[0].mode == Mode.USB
+        mode_reply = hamlib.rigctl_request(port, "m")
+        assert mode_reply.splitlines()[0] == "USB"
+        assert hamlib.rigctl_request(port, "v").strip() == "VFOA"
+        assert "0\n" in hamlib.rigctl_request(port, "\\dump_state")
+    finally:
+        srv.stop()
+
+
+def test_rig_client_against_our_server():
+    ex, bank = _mk_exec()
+    srv = hamlib.HamlibServer(ex, 0, port=0).start()
+    try:
+        port = srv.server.server_address[1]
+        rc = rig.RigConnection(port=port)
+        assert rc.active
+        assert rc.get_freq() == 10e6
+        rc.set_freq(14.2e6)
+        ex.run(n_blocks=1)
+        assert bank._rx_cfgs[0].fc_hz == 14.2e6
+        assert rc.get_vfo() == "A"
+        rc.close()
+    finally:
+        srv.stop()
+
+
+def test_rig_follower_hysteresis():
+    ex, bank = _mk_exec()
+
+    class FakeRig:
+        active = True
+        f = 10e6 + 5.0  # within 20 Hz: no retune
+        def get_freq(self):
+            return self.f
+    fr = rig.RigFollower(ex, FakeRig(), follow_band=True)
+    fr.poll_once()
+    assert ex._cmd_q.empty()
+    fr.rig.f = 10.1e6
+    fr.poll_once()
+    assert not ex._cmd_q.empty()
+
+
+def test_udp_protocol():
+    ex, bank = _mk_exec()
+    h = udp.UdpMsgHandler(ex, mode_name="AM")
+    assert h.handle("Name:?\n") == ["Name:pysdr-tpu\n"]
+    assert h.handle("MODE:?\n") == ["MODE:AM\n"]
+    h.handle("SO2V:ON\n")
+    assert h.so2v and h.auto_mute
+    h.handle("SPLIT:OFF\nSO2V:OFF\n")
+    assert not h.auto_mute
+    h.handle("SpotList:20m:[('W1AW',14030.0,'k'),('AA2IL',14040.0,'b')]\n")
+    assert len(h.spots.all()) == 2
+    h.handle("LOG:W1AW:20m:14030.0:CW:x:y\n")
+    assert [s.color for s in h.spots.all() if s.call == "W1AW"] == ["r"]
+    r = h.handle("SpotFreq:?\n")
+    assert r == ["SpotFreq:14040.000\n"]
+    r = h.handle("RunFreq:14000:14060\n")
+    f = float(r[0].split(":")[1])
+    assert 14000 < f < 14060
+    # mode set via UDP goes through the command queue
+    h.handle("MODE:CW\n")
+    ex.run(n_blocks=1)
+    assert bank._rx_cfgs[0].mode == Mode.CW
+
+
+def test_udp_server_datagrams():
+    import socket
+    h = udp.UdpMsgHandler()
+    srv = udp.UdpServer(h, port=0).start()
+    try:
+        s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        s.settimeout(2.0)
+        s.sendto(b"Name:?\n", ("127.0.0.1", srv.port))
+        data, _ = s.recvfrom(1024)
+        assert data == b"Name:pysdr-tpu\n"
+    finally:
+        srv.stop()
+
+
+def test_hopper_expansion_and_hop():
+    ex, bank = _mk_exec()
+    hl = hopper.expand_hop_list(["20m:FT8", "40m:CW1", (7.1e6, "AM"), "FT4"])
+    assert (14074e3, Mode.IQ) in hl
+    assert (7010e3, Mode.CW) in hl
+    assert (7.1e6, Mode.AM) in hl
+    assert len([h for h in hl if h[1] == Mode.IQ]) >= 10  # FT4 expansion
+    hp = hopper.FreqHopper(ex, ["20m:FT8", "40m:FT8"], dwell_s=100)
+    f1, _ = hp.hop_once()
+    f2, _ = hp.hop_once()
+    f3, _ = hp.hop_once()
+    assert (f1, f2, f3) == (14074e3, 7074e3, 14074e3)
+    ex.run(n_blocks=1)
+    assert bank._rx_cfgs[0].fc_hz == 14074e3  # last applied wins
+
+
+def test_freq2band():
+    assert hopper.freq2band(14.074e6) == "20m"
+    assert hopper.freq2band(7.0e6) == "40m"
+    assert hopper.freq2band(146e6) == "?"
+
+
+def test_presets(tmp_path):
+    p = tmp_path / "p.json"
+    p.write_text('{"presets": [{"name": "X", "freq_hz": 7074000,'
+                 ' "mode": "USB", "group": "digi"}],'
+                 ' "hops": {"6": ["20m:FT8"]}}')
+    pr, hops = presets.load(str(p))
+    names = [q.name for q in pr]
+    assert "WWV10" in names and "X" in names
+    assert hops == {6: ["20m:FT8"]}
+    g = presets.groups(pr)
+    assert "digi" in g and "builtin" in g
+    c = tmp_path / "p.csv"
+    c.write_text("KPBS,89500000,WFM,fm\n")
+    pr2 = presets.load_csv(str(c))
+    assert pr2[0].mode == Mode.WFM
