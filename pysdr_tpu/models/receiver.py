@@ -42,8 +42,17 @@ class ChannelParams(NamedTuple):
 
 class ChannelState(NamedTuple):
     nco_phase: jax.Array       # int32 ()
-    rs_hist: jax.Array         # complex64 (Kp-1,) resampler history
     demod: demod_ops.DemodState
+
+
+class BankState(NamedTuple):
+    """Whole-bank carried state. The resampler history is the RAW RF tail
+    (last Kp-1 input samples), which is channel-independent: the NCO phase
+    is analytic (ops/nco.py), so each channel re-mixes the shared raw tail
+    at its back-shifted phase — bit-identical to carrying a per-channel
+    mixed tail, at 1/n_rx the state."""
+    hist: jax.Array            # complex64 (Kp-1,) raw RF tail
+    ch: ChannelState           # stacked per-channel (leading axis n_rx)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -70,20 +79,26 @@ class ReceiverDesign:
                                                af_taps=cfg.af_taps))
 
 
-def channel_step(x, state: ChannelState, p: ChannelParams,
+def channel_step(x, hist, state: ChannelState, p: ChannelParams,
                  design: ReceiverDesign, video_bank, carrier_taps,
                  pilot_taps):
     """One channel, one block: the whole `demodulate_data` equivalent
     (reference receiver.py:231-297). x: complex64 (in_block,) shared RF
-    block. Returns (audio complex64 (out_block,), new_state)."""
-    y, phase = nco.mix_down(x, p.nco_k, state.nco_phase)
+    block; hist: complex64 (Kp-1,) shared RAW tail of the previous block.
+    state.nco_phase is the LO phase index at x[0]; the tail is re-mixed at
+    the back-shifted phase, reproducing the previous block's mixed tail
+    exactly. Returns (audio complex64 (out_block,), new_state, bb)."""
+    kp1 = hist.shape[0]
+    k = p.nco_k
+    p0m = nco.advance((nco.DENOM - k) % nco.DENOM, state.nco_phase, kp1)
+    y, _ = nco.mix_down(jnp.concatenate([hist, x]), k, p0m)
+    phase = nco.advance(k, state.nco_phase, x.shape[0])
     w = jnp.asarray(video_bank)[p.video_row]
-    bb, rs_hist = resample.resample_block(
-        y, state.rs_hist, w, up=design.up, down=design.down)
+    bb, _ = resample.resample_block(
+        y[kp1:], y[:kp1], w, up=design.up, down=design.down)
     audio, dstate = demod_ops.demod_block(
         bb, state.demod, p.demod, design.demod, carrier_taps, pilot_taps)
-    return audio, ChannelState(nco_phase=phase, rs_hist=rs_hist,
-                               demod=dstate), bb
+    return audio, ChannelState(nco_phase=phase, demod=dstate), bb
 
 
 class ReceiverBank:
@@ -96,11 +111,21 @@ class ReceiverBank:
     applied at the next block boundary).
     """
 
-    def __init__(self, cfg: cfg_mod.PipelineConfig, emit_baseband=False):
+    def __init__(self, cfg: cfg_mod.PipelineConfig, emit_baseband=False,
+                 use_pallas: bool | None = None):
         cfg_mod.validate(cfg)
         self.cfg = cfg
         self.design = ReceiverDesign.from_config(cfg)
         d = self.design
+        # Fused Pallas mix+decimate kernel (ops/pallas/mixdec.py): opt-in.
+        # Measured on v5e both paths sit at the same HBM-bound throughput
+        # for the full bank step (XLA fuses the framed-matmul path well);
+        # the kernel is kept as the explicit-control path for future tuning
+        # and larger channel counts.
+        if use_pallas is None:
+            use_pallas = False
+        self.use_pallas = use_pallas
+        self._pallas_interpret = jax.default_backend() != "tpu"
         # Video (anti-alias) weight bank: one packed conv weight per
         # VIDEO_BWs row (reference dec.filter_bank, gui.py:1672-1714).
         self.video_bws = [bw for bw in tables.VIDEO_BWS_HZ
@@ -114,6 +139,11 @@ class ReceiverBank:
         # constants additionally stay packed float (ops/cplx.py).
         self.video_bank = resample.pack_weight_bank(proto, d.up, d.down)
         self.video_proto = proto   # for the internals dump (receiver.py:864)
+        if self.use_pallas:
+            from pysdr_tpu.ops.pallas import mixdec
+            self._mixdec = mixdec
+            self.video_bank_pallas = mixdec.pack_weight_bank_pallas(
+                proto, d.up, d.down)
         self.carrier_taps = cplx.pack(d.demod.carrier_filter())
         self.pilot_taps = cplx.pack(d.demod.pilot_filter())
         self.emit_baseband = emit_baseband
@@ -124,6 +154,9 @@ class ReceiverBank:
         self.state, self._state_mask = cplx.pack_tree(state_c)
 
         self._step = jax.jit(self._step_impl)
+        self._demod = jax.jit(self._demod_impl)
+        self._w_sel_cache = None
+        self._w_sel_for = None
 
     # ---------- construction ----------
 
@@ -149,16 +182,17 @@ class ReceiverBank:
                  for rc, off in zip(self._rx_cfgs, offs)]
         return jax.tree.map(lambda *xs: jnp.stack(xs), *plist)
 
-    def init_state(self) -> ChannelState:
+    def init_state(self) -> BankState:
         d = self.design
         one = ChannelState(
             nco_phase=jnp.zeros((), jnp.int32),
-            rs_hist=jnp.zeros(resample.history_len(d.video_taps, d.up),
-                              jnp.complex64),
             demod=demod_ops.init_state(d.demod))
-        return jax.tree.map(
+        ch = jax.tree.map(
             lambda x: jnp.broadcast_to(x, (self.n_rx,) + x.shape).copy(),
             one)
+        hist = jnp.zeros(resample.history_len(d.video_taps, d.up),
+                         jnp.complex64)
+        return BankState(hist=hist, ch=ch)
 
     @property
     def n_rx(self) -> int:
@@ -171,17 +205,70 @@ class ReceiverBank:
         pairs; complex64 exists only inside this jit."""
         x = cplx.unpack(x_p)
         state = cplx.unpack_tree(state_p, self._state_mask)
+        d = self.design
+        kp1 = state.hist.shape[0]
 
         def one(st, pr):
-            return channel_step(x, st, pr, self.design, self.video_bank,
-                                self.carrier_taps, self.pilot_taps)
-        audio, new_state, bb = jax.vmap(one)(state, params)
+            return channel_step(x, state.hist, st, pr, self.design,
+                                self.video_bank, self.carrier_taps,
+                                self.pilot_taps)
+        audio, new_ch, bb = jax.vmap(one)(state.ch, params)
+        new_state = BankState(hist=x[-kp1:] if kp1 else state.hist,
+                              ch=new_ch)
         new_state_p, _ = cplx.pack_tree(new_state)
         # outputs flattened to 1-D: multi-dim jit outputs can get device
         # layouts this backend cannot transfer to host (ops/cplx.py notes)
         out = (cplx.pack(audio).reshape(-1),
                cplx.pack(bb).reshape(-1) if self.emit_baseband else None)
         return new_state_p, out
+
+    def _demod_impl(self, state_p, x_p, bb_p, params):
+        """Back half of the pallas-split step: demod + state advance given
+        the fused kernel's baseband. Kept as a SEPARATE executable from the
+        Mosaic kernel: on the axon-tunneled backend, any executable that
+        mixes the Mosaic custom call with the demod graph yields result
+        buffers the runtime cannot transfer to host (UNIMPLEMENTED) —
+        splitting keeps the intermediate on device and the outputs
+        transferable."""
+        state = cplx.unpack_tree(state_p, self._state_mask)
+        d = self.design
+        kp1 = state.hist.shape[0]
+        x = cplx.unpack(x_p)
+        bb = cplx.unpack(bb_p)
+        phase = nco.advance(params.nco_k, state.ch.nco_phase, x.shape[0])
+
+        def one_demod(bbc, dst, pr):
+            return demod_ops.demod_block(bbc, dst, pr.demod, d.demod,
+                                         self.carrier_taps, self.pilot_taps)
+        audio, dstate = jax.vmap(one_demod)(bb, state.ch.demod, params)
+        new_ch = ChannelState(nco_phase=phase, demod=dstate)
+        new_state = BankState(hist=x[-kp1:] if kp1 else state.hist,
+                              ch=new_ch)
+        new_state_p, _ = cplx.pack_tree(new_state)
+        out = (cplx.pack(audio).reshape(-1),
+               bb_p.reshape(-1) if self.emit_baseband else None)
+        return new_state_p, out
+
+    def _step_pallas(self, state_p, x_p, params):
+        """Pallas-mode step: two dispatches (fused kernel, then demod);
+        the baseband intermediate never leaves the device."""
+        d = self.design
+        bb_p = self._mixdec.mix_decimate(
+            x_p, state_p.hist, params.nco_k, state_p.ch.nco_phase,
+            self._w_sel(params), up=d.up, down=d.down,
+            interpret=self._pallas_interpret)
+        return self._demod(state_p, x_p, bb_p, params)
+
+    def _w_sel(self, params):
+        """Per-channel pallas weight selection, memoized on the params
+        object (params are rebuilt on every control-plane change)."""
+        if getattr(self, "_w_sel_cache", None) is None or \
+                self._w_sel_for is not params:
+            rows = np.asarray(params.video_row)
+            import jax.numpy as _jnp
+            self._w_sel_cache = _jnp.asarray(self.video_bank_pallas[rows])
+            self._w_sel_for = params
+        return self._w_sel_cache
 
     def step(self, x):
         """Host convenience: process one RF block (in_block complex64 on
@@ -201,11 +288,14 @@ class ReceiverBank:
         """Device-native step: x_p float32 (in_block, 2) packed; returns
         packed audio flattened (n_rx*out_block*2,) on device (no host
         transfer — the bench path)."""
-        self.state, (audio_p, bb) = self._step(self.state, x_p, self.params)
+        self.state, (audio_p, bb) = self.step_functional(
+            self.state, x_p, self.params)
         self._last_bb = bb
         return audio_p
 
     def step_functional(self, state_p, x_p, params):
+        if self.use_pallas:
+            return self._step_pallas(state_p, x_p, params)
         return self._step(state_p, x_p, params)
 
     # ---------- control plane (block-boundary mutations) ----------

@@ -102,12 +102,13 @@ def make_stream_processor(bank: rx_mod.ReceiverBank, mesh: Mesh,
             b0 = _shifted_phase(bk, bk_seg, bk_h, s)
             st = rx_mod.ChannelState(
                 nco_phase=p0,
-                rs_hist=jnp.zeros(resample.history_len(design.video_taps, u),
-                                  jnp.complex64),
                 demod=demod_ops.init_state(design.demod)._replace(
                     bfo_phase=b0))
+            hist0 = jnp.zeros(resample.history_len(design.video_taps, u),
+                              jnp.complex64)
             audio, _, _ = rx_mod.channel_step(
-                xe, st, p, design, video_bank, carrier_taps, pilot_taps)
+                xe, hist0, st, p, design, video_bank, carrier_taps,
+                pilot_taps)
             return cplx.pack(audio[out_halo:])          # drop warm-up
 
         return jax.vmap(one_channel)(params)            # (C_local, aseg)

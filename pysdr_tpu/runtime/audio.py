@@ -1,0 +1,210 @@
+"""Audio sink layer: paced playback from ring buffers + output routing.
+
+Functional equivalent of the reference's `audio_io.AudioIO` (created at
+reference receiver.py:837-874, driven by `audio_out` receiver.py:153-225):
+a player object consumes an audio ring buffer in fixed chunks at the audio
+clock rate and pushes frames to an output device. Here the "device" is a
+pluggable sink (wav file, callback into another process, or discard) since
+the TPU host has no sound card; the pacing, watermark-deferred start,
+pause/resume/stop lifecycle, stereo packing and gain laws all mirror the
+reference:
+
+  * playback starts only after `delay` samples are buffered
+    (reference receiver.py:224-225, P.DELAY = 16*1024);
+  * dB-style AF gain law `10**g - 1` (reference receiver.py:171);
+  * scheme-2 stereo packing of two RXs into L/R as `am1*g1 + 1j*am2*g2`
+    (reference receiver.py:158-189);
+  * aux speaker path through an 800-1300 Hz bandpass
+    (reference receiver.py:214-221);
+  * underrun inserts silence and is counted (the watchdog's low-water
+    push_zeros behavior, reference watchdog.py:188-201).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from typing import Callable
+
+import numpy as np
+
+from pysdr_tpu.ops import fir
+from pysdr_tpu.runtime.ringbuffer import RingBuffer
+
+CHUNK = 1024          # reference OUT_CHUNK_SIZE (params.py:440)
+DEFAULT_DELAY = 16 * CHUNK   # reference P.DELAY (params.py:70-71)
+
+
+def af_gain_linear(gain_setting: float) -> float:
+    """GUI slider -> linear gain, the reference's dB-ish law
+    `pow(10, AF_GAIN) - 1` (receiver.py:171)."""
+    return 10.0 ** gain_setting - 1.0
+
+
+def pack_stereo(am1: np.ndarray, am2: np.ndarray, g1: float = 1.0,
+                g2: float = 1.0) -> np.ndarray:
+    """Two mono RX streams -> one complex stereo stream L+jR
+    (reference receiver.py:158-189)."""
+    return (g1 * am1.real + 1j * (g2 * am2.real)).astype(np.complex64)
+
+
+def aux_bandpass_taps(fs: float, ntaps: int = 129) -> np.ndarray:
+    """800-1300 Hz speech-peak bandpass for the aux speaker path
+    (reference receiver.py:214-221)."""
+    return np.asarray(fir.bandpass(800.0, 1300.0, fs, ntaps), np.float32)
+
+
+class WavSink:
+    """File sink with the wave module; int16, mono or stereo."""
+
+    def __init__(self, path: str, fs: float, stereo: bool = True):
+        import wave
+        self._w = wave.open(path, "wb")
+        self._w.setnchannels(2 if stereo else 1)
+        self._w.setsampwidth(2)
+        self._w.setframerate(int(round(fs)))
+        self.stereo = stereo
+        self.path = path
+
+    def write(self, frames: np.ndarray):
+        a = frames
+        if np.iscomplexobj(a):
+            a = np.stack([a.real, a.imag], -1) if self.stereo \
+                else a.real[:, None]
+        elif a.ndim == 1:
+            a = a[:, None]
+            if self.stereo:
+                a = np.repeat(a, 2, axis=1)
+        pcm = (np.clip(a, -1, 1) * 32767.0).astype("<i2")
+        self._w.writeframes(pcm.tobytes())
+
+    def close(self):
+        self._w.close()
+
+
+class NullSink:
+    def write(self, frames):
+        pass
+
+    def close(self):
+        pass
+
+
+class CallbackSink:
+    def __init__(self, fn: Callable[[np.ndarray], None]):
+        self.fn = fn
+
+    def write(self, frames):
+        self.fn(frames)
+
+    def close(self):
+        pass
+
+
+class AudioPlayer:
+    """Paced consumer of one audio ring buffer.
+
+    Lifecycle mirrors the reference AudioIO: `start_playback(nsamps)`
+    defers until the ring holds nsamps; pause/resume gate consumption
+    without losing position; stop ends the thread. `realtime=False`
+    drains as fast as the producer fills (offline/bench mode).
+    """
+
+    def __init__(self, ring: RingBuffer, fs: float, sink=None,
+                 chunk: int = CHUNK, realtime: bool = True, tag: str = ""):
+        self.rb = ring
+        self.fs = fs
+        self.sink = sink or NullSink()
+        self.chunk = chunk
+        self.realtime = realtime
+        self.tag = tag
+        self.active = False
+        self.start_time: float | None = None
+        self.underruns = 0
+        self.frames_out = 0
+        self._pause = threading.Event()
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+
+    # -- lifecycle (reference receiver.py:470-474; gui.py:725-735) --
+
+    def start_playback(self, min_buffered: int = DEFAULT_DELAY,
+                       timeout: float = 10.0):
+        """Begin playback once the ring holds min_buffered samples."""
+        deadline = time.monotonic() + timeout
+        while self.rb.nsamps < min(min_buffered, self.rb.size // 2):
+            if time.monotonic() > deadline:
+                break
+            time.sleep(0.005)
+        self.start_time = time.time()
+        self.active = True
+        self._stop.clear()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+        return self
+
+    def pause(self):
+        self._pause.set()
+
+    def resume(self):
+        self._pause.clear()
+
+    def stop(self, drain: bool = False):
+        if drain:
+            while self.rb.nsamps >= self.chunk and self.active:
+                time.sleep(0.002)
+        self._stop.set()
+        if self._thread:
+            self._thread.join(timeout=2.0)
+        self.active = False
+        self.sink.close()
+
+    # -- the pump --
+
+    def _run(self):
+        period = self.chunk / self.fs
+        next_t = time.monotonic()
+        while not self._stop.is_set():
+            if self._pause.is_set():
+                time.sleep(period)
+                next_t = time.monotonic()
+                continue
+            if self.rb.ready(self.chunk):
+                frames = self.rb.pull(self.chunk)
+            elif self.realtime:
+                # underrun: emit silence, keep the clock (watchdog
+                # low-water behavior)
+                frames = np.zeros(self.chunk, np.complex64)
+                self.underruns += 1
+            else:
+                time.sleep(0.001)
+                continue
+            self.sink.write(frames)
+            self.frames_out += self.chunk
+            if self.realtime:
+                next_t += period
+                dt = next_t - time.monotonic()
+                if dt > 0:
+                    time.sleep(dt)
+                else:
+                    next_t = time.monotonic()
+        self.active = False
+
+
+def create_players(bank, rings, fs: float, wav_prefix: str | None = None,
+                   stereo_pairs: bool = False, realtime: bool = True):
+    """Build one player per RX — or one per RX *pair* packed into stereo
+    (the reference's scheme-2 two-RXs-per-player routing,
+    receiver.py:158-189 via create_Audio_Players receiver.py:837-874).
+
+    When stereo_pairs is set, even/odd ring pairs must be pre-packed by
+    the caller with pack_stereo.
+    """
+    players = []
+    step = 2 if stereo_pairs else 1
+    for i in range(0, len(rings), step):
+        sink = WavSink(f"{wav_prefix}_rx{i}.wav", fs) if wav_prefix \
+            else NullSink()
+        players.append(AudioPlayer(rings[i], fs, sink=sink,
+                                   realtime=realtime, tag=f"play{i}"))
+    return players
