@@ -1,0 +1,387 @@
+"""The main application: CLI -> config -> sources -> executive -> sinks.
+
+Headless equivalent of the reference's entry points — `pySDR.py` (GUI app,
+reference pySDR.py:99-268) and `am.py` (headless tuner, am.py:28-196):
+parse flags, build the receiver bank, wire the source, audio sinks,
+recorders, watchdogs, control servers (hamlib TCP per RX, UDP bandmap
+protocol), frequency hopper, RTTY decoder, and the headless PSD/waterfall
+engine — then run the streaming executive.
+
+The flag set mirrors the reference `RUN_TIME_PARAMS` argparse surface
+(reference params.py:45-190); derived-rate planning, FOFFSET
+auto-centering, and MAX_RX handling live in pysdr_tpu.config. Where the
+reference mutates one giant `P` object from Qt callbacks, every control
+surface here posts pure params updates applied at block boundaries
+(runtime/executive.post), so the compiled device step never changes shape.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from pysdr_tpu import config as cfg_mod
+from pysdr_tpu import tables
+from pysdr_tpu.tables import Mode
+
+MAX_RX = 64     # reference clamps at 6 (params.py:33); the vmapped bank
+                # has no such structural limit — 64 is a sanity rail.
+
+
+# --------------------------------------------------------------------------
+# CLI (reference params.py:45-190)
+# --------------------------------------------------------------------------
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="pysdr_tpu",
+        description="TPU-native multi-channel SDR receiver (headless)")
+    # -- channels (reference -fc nargs='*', -mode; params.py:76-77) --
+    ap.add_argument("--fc", type=float, nargs="*", default=[0.6],
+                    help="per-RX center freqs in MHz (up to %d)" % MAX_RX)
+    ap.add_argument("--mode", type=str, default="AM",
+                    help="demod mode for all RXs (AM/AM-Synch/USB/LSB/CW/"
+                         "IQ/WFM/WFM2/NFM/RTTY)")
+    ap.add_argument("--modes", type=str, nargs="*", default=None,
+                    help="per-RX mode list (overrides --mode)")
+    ap.add_argument("--video-bw", type=float, default=0.0,
+                    help="pre-demod filter BW in kHz (0 = Max)")
+    ap.add_argument("--af-bw", type=float, default=0.0,
+                    help="audio filter BW in kHz (0 = mode default)")
+    ap.add_argument("--af-gain", type=float, default=1.0)
+    ap.add_argument("--squelch", type=float, default=-150.0,
+                    help="squelch threshold dB (default off)")
+    ap.add_argument("--no-agc", action="store_true")
+    # -- rates (reference -fs MHz / -fsout kHz; params.py:128-131) --
+    ap.add_argument("--fs", type=float, default=2.048,
+                    help="RF sample rate in MHz")
+    ap.add_argument("--fs-out", type=float, default=48.0,
+                    help="audio rate in kHz (48/96/192)")
+    ap.add_argument("--foffset", type=float, default=None,
+                    help="tuner offset in kHz (default: auto-center, "
+                         "params.py:311-315)")
+    ap.add_argument("--block", type=int, default=16384,
+                    help="audio samples per device block")
+    # -- source (reference -replay / -fake; params.py:51-56) --
+    ap.add_argument("--replay", type=str, nargs="+", default=None,
+                    metavar=("FILE", "START_SEC"),
+                    help="replay a recorded .dat file (optional start sec)")
+    ap.add_argument("--no-loop", action="store_true",
+                    help="stop at end of replay file instead of looping")
+    ap.add_argument("--synth-noise", type=float, default=0.001,
+                    help="noise RMS for the synthetic source (-fake "
+                         "equivalent, utils.py:71-273)")
+    # -- run control --
+    ap.add_argument("--blocks", type=int, default=None,
+                    help="stop after N device blocks")
+    ap.add_argument("--duration", type=float, default=None,
+                    help="stop after N seconds of stream time")
+    ap.add_argument("--realtime", action="store_true",
+                    help="pace to the sample clock (default: free-run)")
+    # -- recording taps (reference -save_iq/-save_demod; params.py:136-141)
+    ap.add_argument("--save-iq", action="store_true",
+                    help="record raw RF IQ to a timestamped .dat")
+    ap.add_argument("--save-demod", action="store_true",
+                    help="record demod audio to a timestamped .dat")
+    ap.add_argument("--save-dir", type=str, default=".")
+    ap.add_argument("--wav", type=str, default=None, metavar="PREFIX",
+                    help="write per-RX audio to PREFIX_rxN.wav")
+    # -- control plane (reference pySDR.py:139-156; udp.py; hopper.py) --
+    ap.add_argument("--hamlib", action="store_true",
+                    help="start one hamlib TCP server per RX (ports "
+                         "4575+i, pySDR.py:139-156)")
+    ap.add_argument("--hamlib-port", type=int, default=None)
+    ap.add_argument("--udp-port", type=int, default=None,
+                    help="start the bandmap/keyer UDP server")
+    ap.add_argument("--rig", type=str, default=None, metavar="HOST:PORT",
+                    help="follow an external rigctld (follow-freq loop, "
+                         "gui.py:1402-1483)")
+    ap.add_argument("--hop", type=float, nargs="*", default=None,
+                    help="frequency-hop list in MHz (hopper.py:51-199)")
+    ap.add_argument("--dwell", type=float, default=15.0,
+                    help="hop dwell seconds (WSJT 15 s slots)")
+    # -- decoders --
+    ap.add_argument("--rtty", type=int, default=None, metavar="RX",
+                    help="run the wideband RTTY decoder on this RX's "
+                         "baseband (rtty.py)")
+    # -- display (headless UpdatePSD; pySDR.py:252-256) --
+    ap.add_argument("--psd", action="store_true",
+                    help="compute RF/AF PSD + waterfall frames")
+    ap.add_argument("--psd-every", type=int, default=8,
+                    help="update displays every N blocks")
+    ap.add_argument("--png-dir", type=str, default=None,
+                    help="export waterfall PNGs here on exit")
+    # -- presets (reference presets.xls tabs; gui.py:408-435) --
+    ap.add_argument("--preset", type=str, default=None,
+                    help="tune RX0 to a named preset station")
+    ap.add_argument("--presets-file", type=str, default=None)
+    ap.add_argument("--list-presets", action="store_true")
+    # -- diagnostics --
+    ap.add_argument("--internals", type=str, default=None, metavar="NPZ",
+                    help="dump filter banks for cross-validation "
+                         "(internals.mat harness, receiver.py:864-874)")
+    ap.add_argument("--profile", action="store_true",
+                    help="print per-block timing vs the frame budget "
+                         "(profiler.py:27-46)")
+    ap.add_argument("--pallas", action="store_true",
+                    help="use the fused Pallas mix+decimate kernel")
+    return ap
+
+
+def build_config(args) -> cfg_mod.PipelineConfig:
+    fcs = [f * 1e6 for f in args.fc][:MAX_RX]
+    mode_names = args.modes if args.modes else [args.mode] * len(fcs)
+    if len(mode_names) < len(fcs):
+        mode_names += [mode_names[-1]] * (len(fcs) - len(mode_names))
+    modes = [tables.mode_from_name(m) for m in mode_names]
+    fs_in = args.fs * 1e6
+    if args.foffset is not None:
+        foff = args.foffset * 1e3
+    elif len(fcs) > 1:
+        foff = cfg_mod.auto_foffset(fcs, fs_in)
+    else:
+        foff = min(0.25 * fs_in, 120e3)   # park DC spike out of channel
+    rxs = tuple(
+        cfg_mod.ReceiverConfig(
+            fc_hz=fc, mode=m, video_bw_hz=args.video_bw * 1e3,
+            af_bw_hz=args.af_bw * 1e3, af_gain=args.af_gain,
+            agc_enabled=not args.no_agc, squelch_db=args.squelch)
+        for fc, m in zip(fcs, modes))
+    return cfg_mod.PipelineConfig(
+        fs_in=fs_in, fs_out=args.fs_out * 1e3, out_block=args.block,
+        foffset_hz=foff, receivers=rxs)
+
+
+def build_source(args, cfg: cfg_mod.PipelineConfig):
+    """Pick the source, reference-style: -replay beats -fake beats live
+    (utils.py:459-621 find_sdr_device). There is no live USB device on a
+    TPU host, so the synthetic source is the default backend."""
+    from pysdr_tpu.io import datfile, synth
+    if args.replay:
+        start = float(args.replay[1]) if len(args.replay) > 1 else 0.0
+        rd = datfile.DatReader(args.replay[0], start_sec=start)
+        # replay restores fs/fc from the header (receiver.py:810-820)
+        return rd, rd.srate, rd.fc
+    # synthetic passband: one station per requested channel
+    specs = []
+    for i, (rc, off) in enumerate(zip(cfg.receivers,
+                                      cfg.channel_offsets_hz())):
+        kind = {Mode.AM: "am", Mode.AM_SYNC: "am", Mode.USB: "usb",
+                Mode.LSB: "lsb", Mode.CW: "cw", Mode.NFM: "fm",
+                Mode.WFM: "fm", Mode.WFM2: "fm",
+                }.get(rc.mode, "tone")
+        specs.append(synth.SignalSpec(
+            offset_hz=off, mode=kind, amplitude=0.5,
+            audio_hz=400.0 * (i + 1)))
+    src = synth.SynthSource(specs, cfg.fs_in, noise_rms=args.synth_noise,
+                            fc=cfg.sdr_center_hz)
+    return src, cfg.fs_in, cfg.sdr_center_hz
+
+
+# --------------------------------------------------------------------------
+# Application wiring (reference pySDR.py init_sdr + start_threads)
+# --------------------------------------------------------------------------
+
+class App:
+    """Owns every subsystem for one run; `run()` blocks until done."""
+
+    def __init__(self, args):
+        from pysdr_tpu.models.receiver import ReceiverBank
+        from pysdr_tpu.runtime.executive import Executive
+
+        self.args = args
+        cfg = build_config(args)
+        self.source, fs_src, fc_src = build_source(args, cfg)
+        if args.replay and (fs_src != cfg.fs_in):
+            # rate plan recomputed from the file header (receiver.py:818-820)
+            cfg = __import__("dataclasses").replace(cfg, fs_in=fs_src)
+        self.cfg = cfg
+        emit_bb = args.rtty is not None
+        self.bank = ReceiverBank(cfg, emit_baseband=emit_bb,
+                                 use_pallas=args.pallas)
+        d = self.bank.design
+
+        # recording taps (pySDR.py:117-123)
+        from pysdr_tpu.io import datfile
+        import os
+        self.raw_writer = self.demod_writer = None
+        if args.save_iq:
+            self.raw_writer = datfile.DatWriter(
+                os.path.join(args.save_dir,
+                             datfile.timestamped_name("raw_iq")),
+                fs=d.fs_in, fc=fc_src)
+        if args.save_demod:
+            self.demod_writer = datfile.DatWriter(
+                os.path.join(args.save_dir,
+                             datfile.timestamped_name("demod")),
+                fs=d.fs_out, fc=fc_src, nchan=self.bank.n_rx)
+
+        self.display = None
+        if args.psd or args.png_dir:
+            from pysdr_tpu.models.display import DisplayEngine
+            self.display = DisplayEngine(self.bank,
+                                         decimate=args.psd_every)
+
+        self.rtty = None
+        if args.rtty is not None:
+            from pysdr_tpu.models.rtty import RTTYDecoder, RTTYDesign
+            self.rtty = RTTYDecoder(RTTYDesign(fs=d.fs_out))
+            self.rtty_rx = int(args.rtty)
+            self.rtty_text: list[str] = []
+
+        self.ex = Executive(
+            self.bank, self.source, realtime=args.realtime,
+            raw_writer=self.raw_writer, demod_writer=self.demod_writer,
+            psd_callback=self._on_block, loop_source=not args.no_loop)
+
+        # audio sinks: wav files or null (no sound card on a TPU host)
+        from pysdr_tpu.runtime.audio import create_players
+        self.players = create_players(
+            self.bank, self.ex.audio_rings, d.fs_out,
+            wav_prefix=args.wav, realtime=args.realtime)
+
+        # watchdogs on every audio ring (watchdog.py:165-201)
+        from pysdr_tpu.runtime.watchdog import WatchDog
+        self.watchdogs = [WatchDog(r, d.fs_out)
+                          for r in self.ex.audio_rings] \
+            if args.realtime else []
+
+        # control plane
+        self.hamlib_servers = []
+        if args.hamlib:
+            from pysdr_tpu.runtime.hamlib import (DEFAULT_BASE_PORT,
+                                                  HamlibServer)
+            base = args.hamlib_port or DEFAULT_BASE_PORT
+            self.hamlib_servers = [
+                HamlibServer(self.ex, i, port=base + i)
+                for i in range(self.bank.n_rx)]
+        self.udp_server = None
+        if args.udp_port:
+            from pysdr_tpu.runtime.udp import UdpMsgHandler, UdpServer
+            self.udp_server = UdpServer(
+                UdpMsgHandler(executive=self.ex,
+                              mode_name=tables.MODE_NAMES[
+                                  cfg.receivers[0].mode]),
+                port=args.udp_port)
+        self.rig = self.follower = None
+        if args.rig:
+            from pysdr_tpu.runtime.rig import RigConnection, RigFollower
+            host, _, port = args.rig.partition(":")
+            self.rig = RigConnection(host or "127.0.0.1",
+                                     int(port or 4532))
+            self.follower = RigFollower(self.ex, self.rig)
+        self.hopper = None
+        if args.hop:
+            from pysdr_tpu.runtime.hopper import FreqHopper
+            self.hopper = FreqHopper(
+                self.ex, [(f * 1e6, cfg.receivers[0].mode)
+                          for f in args.hop],
+                dwell_s=args.dwell)
+
+    # per-block tap: display + RTTY feed (demodulate_data taps,
+    # receiver.py:256-290)
+    def _on_block(self, ex, audio):
+        if self.display is not None:
+            self.display(ex, audio)
+            if ex.last_rf_block is not None \
+                    and ex.n_blocks % self.args.psd_every == 0:
+                self.display.update_rf(ex.last_rf_block)
+        if self.rtty is not None and self.bank._last_bb is not None:
+            bb = np.asarray(self.bank._last_bb).reshape(
+                self.bank.n_rx, -1, 2)[self.rtty_rx]
+            for i, txt in enumerate(self.rtty.decode_block(bb)):
+                if txt:
+                    self.rtty_text.append(txt)
+                    print(f"RTTY ch{i}: {txt}", flush=True)
+
+    def start_services(self):
+        for s in self.hamlib_servers:
+            s.start()
+        if self.udp_server:
+            self.udp_server.start()
+        if self.follower:
+            self.follower.start()
+        if self.hopper:
+            self.hopper.start()
+        for w in self.watchdogs:
+            w.start()
+        for p in self.players:
+            if self.args.realtime:
+                p.start_playback()
+            else:
+                p.realtime = False
+                p.start_playback(min_buffered=0, timeout=0.0)
+
+    def stop_services(self):
+        if self.hopper:
+            self.hopper.stop()
+        if self.follower:
+            self.follower.stop()
+        if self.udp_server:
+            self.udp_server.stop()
+        for s in self.hamlib_servers:
+            s.stop()
+        for w in self.watchdogs:
+            w.stop()
+        for p in self.players:
+            p.stop(drain=True)
+        for wr in (self.raw_writer, self.demod_writer):
+            if wr is not None:
+                wr.close()
+        if self.args.png_dir and self.display is not None:
+            import os
+            os.makedirs(self.args.png_dir, exist_ok=True)
+            for tag in self.display.frames:
+                self.display.export_png(
+                    os.path.join(self.args.png_dir, f"{tag}.png"), tag)
+
+    def run(self) -> int:
+        self.start_services()
+        try:
+            prof = self.ex.run(n_blocks=self.args.blocks,
+                               duration_s=self.args.duration)
+        finally:
+            self.stop_services()
+        if self.args.profile:
+            print(prof.report())
+        return 0
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.list_presets:
+        from pysdr_tpu.runtime import presets as pre
+        plist, _ = pre.load(args.presets_file)
+        for p in plist:
+            print(f"{p.name:24s} {p.freq_hz / 1e6:12.6f} MHz "
+                  f"{tables.MODE_NAMES[p.mode]:8s} {p.group}")
+        return 0
+    if args.preset:
+        from pysdr_tpu.runtime import presets as pre
+        plist, _ = pre.load(args.presets_file)
+        match = [p for p in plist
+                 if p.name.lower() == args.preset.lower()]
+        if not match:
+            print(f"unknown preset {args.preset!r}", file=sys.stderr)
+            return 2
+        args.fc = [match[0].freq_hz / 1e6] + list(args.fc[1:])
+        args.mode = tables.MODE_NAMES[match[0].mode]
+        args.modes = None
+    app = App(args)
+    if args.internals:
+        np.savez(args.internals, **{
+            k: v for k, v in app.bank.dump_internals().items()})
+        print(f"wrote {args.internals}")
+        return 0
+    t0 = time.monotonic()
+    rc = app.run()
+    dt = time.monotonic() - t0
+    d = app.bank.design
+    n = app.ex.n_blocks
+    print(f"{n} blocks, {n * d.in_block / 1e6:.1f} Msamples RF in "
+          f"{dt:.2f}s ({n * d.in_block / max(dt, 1e-9) / 1e6:.1f} Msamp/s), "
+          f"{app.bank.n_rx} RX", flush=True)
+    return rc

@@ -57,6 +57,7 @@ class Executive:
         self._cmd_q: queue.Queue = queue.Queue()
         self._stop = threading.Event()
         self.n_blocks = 0
+        self.last_rf_block: np.ndarray | None = None
 
     # ---- control plane: thread-safe, applied at block boundaries ----
     # (the service_commands RPC surface, reference receiver.py:301-399)
@@ -88,7 +89,10 @@ class Executive:
                 return None
             if self.raw_writer is not None:
                 self.raw_writer.save_data(x)
-            return jnp.asarray(cplx.pack(x.astype(np.complex64)))
+            # RF tap for PSD/display consumers (reference rb_rf push,
+            # receiver.py:747-756)
+            self.last_rf_block = x.astype(np.complex64)
+            return jnp.asarray(cplx.pack(self.last_rf_block))
 
         nxt = read_block()
         while not self._stop.is_set():
