@@ -352,6 +352,22 @@ class App:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    # clean CLI errors instead of tracebacks for the common operator
+    # mistakes (unknown mode, missing replay file)
+    try:
+        if args.modes:
+            [tables.mode_from_name(m) for m in args.modes]
+        else:
+            tables.mode_from_name(args.mode)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    if args.replay:
+        import os
+        if not os.path.exists(args.replay[0]):
+            print(f"error: replay file not found: {args.replay[0]}",
+                  file=sys.stderr)
+            return 2
     if args.list_presets:
         from pysdr_tpu.runtime import presets as pre
         plist, _ = pre.load(args.presets_file)

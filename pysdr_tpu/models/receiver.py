@@ -150,8 +150,9 @@ class ReceiverBank:
 
         self._rx_cfgs = list(cfg.receivers)
         self.params = self._build_params()
-        state_c = self.init_state()
-        self.state, self._state_mask = cplx.pack_tree(state_c)
+        state_c = self.init_state()                     # host numpy tree
+        packed, self._state_mask = cplx.pack_tree(state_c)  # host float32
+        self.state = jax.tree.map(jnp.asarray, packed)  # device, no complex
 
         self._step = jax.jit(self._step_impl)
         self._demod = jax.jit(self._demod_impl)
@@ -183,15 +184,19 @@ class ReceiverBank:
         return jax.tree.map(lambda *xs: jnp.stack(xs), *plist)
 
     def init_state(self) -> BankState:
+        # Pure host numpy: never create complex64 device arrays eagerly
+        # (the axon backend UNIMPLEMENTED-poisons the device; see
+        # ops/demod.init_state note). The constructor packs this tree on
+        # the host and device_puts float32 only.
         d = self.design
         one = ChannelState(
-            nco_phase=jnp.zeros((), jnp.int32),
+            nco_phase=np.zeros((), np.int32),
             demod=demod_ops.init_state(d.demod))
         ch = jax.tree.map(
-            lambda x: jnp.broadcast_to(x, (self.n_rx,) + x.shape).copy(),
+            lambda x: np.broadcast_to(x, (self.n_rx,) + x.shape).copy(),
             one)
-        hist = jnp.zeros(resample.history_len(d.video_taps, d.up),
-                         jnp.complex64)
+        hist = np.zeros(resample.history_len(d.video_taps, d.up),
+                        np.complex64)
         return BankState(hist=hist, ch=ch)
 
     @property
@@ -216,8 +221,6 @@ class ReceiverBank:
         new_state = BankState(hist=x[-kp1:] if kp1 else state.hist,
                               ch=new_ch)
         new_state_p, _ = cplx.pack_tree(new_state)
-        # outputs flattened to 1-D: multi-dim jit outputs can get device
-        # layouts this backend cannot transfer to host (ops/cplx.py notes)
         out = (cplx.pack(audio).reshape(-1),
                cplx.pack(bb).reshape(-1) if self.emit_baseband else None)
         return new_state_p, out

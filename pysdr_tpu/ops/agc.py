@@ -30,7 +30,11 @@ class AGCParams:
 
 
 def init_state():
-    return jnp.zeros((), jnp.float32)  # envelope estimate
+    # Host numpy, not jnp: eagerly creating device arrays at construction
+    # time must be avoided on the axon TPU backend (see ops/cplx.py); as a
+    # constant inside traced code numpy is equivalent.
+    import numpy as np
+    return np.zeros((), np.float32)  # envelope estimate
 
 
 def agc_block(x, env_prev, p: AGCParams, enabled=True):

@@ -105,18 +105,24 @@ class DemodDesign:
 
 
 def init_state(design: DemodDesign) -> DemodState:
-    c64 = jnp.complex64
+    # Host numpy (NOT eager jnp): on the axon TPU backend, eagerly creating
+    # complex64 device arrays fails with UNIMPLEMENTED and the async error
+    # poisons the whole device stream — every subsequent device->host
+    # transfer then fails (root cause of the round-1 hot-loop crash). As a
+    # constant inside traced code numpy behaves identically; at construction
+    # time the caller packs (ops/cplx.py) before any device_put.
+    c64 = np.complex64
     return DemodState(
-        af_hist=jnp.zeros(design.af_taps - 1, c64),
-        carrier_hist=jnp.zeros(design.carrier_taps - 1, c64),
-        pilot_hist=jnp.zeros(design.pilot_taps - 1, c64),
-        lr_hist=jnp.zeros(design.af_taps - 1, c64),
-        disc_last=jnp.zeros(1, c64),
-        bfo_phase=jnp.zeros((), jnp.int32),
-        deemph=jnp.zeros(2, jnp.float32),
-        dc=jnp.zeros(2, jnp.float32),
+        af_hist=np.zeros(design.af_taps - 1, c64),
+        carrier_hist=np.zeros(design.carrier_taps - 1, c64),
+        pilot_hist=np.zeros(design.pilot_taps - 1, c64),
+        lr_hist=np.zeros(design.af_taps - 1, c64),
+        disc_last=np.zeros(1, c64),
+        bfo_phase=np.zeros((), np.int32),
+        deemph=np.zeros(2, np.float32),
+        dc=np.zeros(2, np.float32),
         agc_env=agc_ops.init_state(),
-        sq_gate=jnp.ones((), jnp.float32),
+        sq_gate=np.ones((), np.float32),
     )
 
 

@@ -48,7 +48,13 @@ def mode_from_name(name: str) -> Mode:
                "PKTUSB": Mode.IQ}
     if name in aliases:
         return aliases[name]
-    return Mode[name]
+    try:
+        return Mode[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown mode {name!r}; valid: "
+            f"{', '.join(m.name for m in Mode)} (+aliases "
+            f"{', '.join(aliases)})") from None
 
 
 # Bandwidth menus in Hz; 0.0 means "Max" (no extra filtering beyond the
