@@ -22,6 +22,8 @@ import numpy as np
 def main():
     import jax
     import jax.numpy as jnp
+    from pysdr_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
     from pysdr_tpu.config import PipelineConfig, ReceiverConfig
     from pysdr_tpu.models.receiver import ReceiverBank
     from pysdr_tpu.tables import Mode

@@ -55,6 +55,13 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--squelch", type=float, default=-150.0,
                     help="squelch threshold dB (default off)")
     ap.add_argument("--no-agc", action="store_true")
+    ap.add_argument("--auto-mute", action="store_true",
+                    help="mute on strong signals (reference -auto_mute, "
+                         "receiver.py:237-245)")
+    ap.add_argument("--auto-mute-db", type=float, default=-10.0,
+                    help="auto-mute baseband power threshold (dBFS)")
+    ap.add_argument("--mute", type=int, nargs="*", default=[],
+                    metavar="RX", help="start with these RXs muted")
     # -- rates (reference -fs MHz / -fsout kHz; params.py:128-131) --
     ap.add_argument("--fs", type=float, default=2.048,
                     help="RF sample rate in MHz")
@@ -148,8 +155,10 @@ def build_config(args) -> cfg_mod.PipelineConfig:
         cfg_mod.ReceiverConfig(
             fc_hz=fc, mode=m, video_bw_hz=args.video_bw * 1e3,
             af_bw_hz=args.af_bw * 1e3, af_gain=args.af_gain,
-            agc_enabled=not args.no_agc, squelch_db=args.squelch)
-        for fc, m in zip(fcs, modes))
+            agc_enabled=not args.no_agc, squelch_db=args.squelch,
+            muted=(i in set(args.mute)), auto_mute=args.auto_mute,
+            auto_mute_db=args.auto_mute_db)
+        for i, (fc, m) in enumerate(zip(fcs, modes)))
     return cfg_mod.PipelineConfig(
         fs_in=fs_in, fs_out=args.fs_out * 1e3, out_block=args.block,
         foffset_hz=foff, receivers=rxs)
@@ -352,6 +361,8 @@ class App:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    from pysdr_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
     # clean CLI errors instead of tracebacks for the common operator
     # mistakes (unknown mode, missing replay file)
     try:

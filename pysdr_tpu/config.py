@@ -44,6 +44,12 @@ class ReceiverConfig:
     agc_enabled: bool = True
     squelch_db: float = -150.0       # effectively off
     bfo_hz: float = tables.CW_BFO_HZ # CW beat note
+    muted: bool = False              # per-RX mute (reference P.MUTED[irx],
+                                     # receiver.py:168-197)
+    auto_mute: bool = False          # mute on strong sigs during TX/SO2V
+                                     # (reference ENABLE_AUTO_MUTE,
+                                     # receiver.py:237-245)
+    auto_mute_db: float = -10.0      # baseband power threshold (dBFS)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -172,7 +172,8 @@ class ReceiverBank:
         dp = demod_ops.make_params(
             d.demod, rc.mode, af_bw_hz=rc.af_bw_hz, bfo_hz=rc.bfo_hz,
             af_gain=rc.af_gain, squelch_db=rc.squelch_db,
-            agc_on=rc.agc_enabled)
+            agc_on=rc.agc_enabled, muted=rc.muted, auto_mute=rc.auto_mute,
+            auto_mute_db=rc.auto_mute_db)
         return ChannelParams(
             nco_k=jnp.int32(nco.snap_freq(offset_hz, d.fs_in)),
             video_row=jnp.int32(row), demod=dp)
@@ -331,6 +332,27 @@ class ReceiverBank:
 
     def set_agc(self, i: int, enabled: bool):
         self._update(i, agc_enabled=enabled)
+
+    def set_mute(self, i: int, muted: bool):
+        """Per-RX mute (reference P.MUTED[irx] -> af_gain=0,
+        receiver.py:168-197; GUI MuteCB)."""
+        self._update(i, muted=bool(muted))
+
+    def set_auto_mute(self, i: int, enabled: bool,
+                      thresh_db: float | None = None):
+        """Arm/disarm strong-signal auto-mute on one RX (reference
+        ENABLE_AUTO_MUTE + rx.auto_mute, receiver.py:237-245)."""
+        kw = {"auto_mute": bool(enabled)}
+        if thresh_db is not None:
+            kw["auto_mute_db"] = float(thresh_db)
+        self._update(i, **kw)
+
+    def set_auto_mute_all(self, enabled: bool):
+        """SO2V/DXSPLIT arm every RX at once (reference udp.py:43-60)."""
+        for i in range(self.n_rx):
+            self._rx_cfgs[i] = dataclasses.replace(
+                self._rx_cfgs[i], auto_mute=bool(enabled))
+        self.params = self._build_params()
 
     # ---------- verification harness ----------
 

@@ -6,8 +6,9 @@ max-tracking feedback loop with a one-pole smoother, beta=0.1. The TPU
 formulation is feedforward: envelope = asymmetric one-pole of |x| (fast
 attack, slow decay — each a first-order linear recurrence evaluated with an
 associative scan, see scanops.py), gain = ref/max(envelope, floor). Feedback
-vs feedforward differ only during attack transients; equivalence to the
-reference behavior is validated at the audio-SNR level (tests/test_agc.py).
+vs feedforward differ only during attack transients; attack/decay behavior
+is validated against a serial simulation of the reference loop in
+tests/test_agc.py.
 """
 
 from __future__ import annotations
@@ -51,7 +52,10 @@ def agc_block(x, env_prev, p: AGCParams, enabled=True):
     n = mag.shape[0]
     pad = (-n) % w
     m = jnp.max(jnp.pad(mag, (0, pad)).reshape(-1, w), axis=1)
-    env_c, env_last = scanops.one_pole(m, p.decay * w, env_prev)
+    # exact pole conversion to the window rate: w per-sample steps of
+    # (1-decay) equal one window step of (1-decay)^w
+    alpha_w = 1.0 - (1.0 - p.decay) ** w
+    env_c, env_last = scanops.one_pole(m, alpha_w, env_prev)
     env_c = jnp.maximum(env_c, m)           # instant attack within window
     env = jnp.repeat(env_c, w)[:n]
     gain = p.ref / jnp.maximum(env, p.floor)

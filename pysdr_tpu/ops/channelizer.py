@@ -70,6 +70,50 @@ def history_len(design: ChannelizerDesign) -> int:
     return (design.taps_per_branch - 1) * design.n_channels
 
 
+def dft_matrix(n_channels: int, cols: np.ndarray | None = None):
+    """DFT matrix W[r, c] = exp(-2j pi c r / N) packed as two float32
+    (N, C) real/imag factors. Replacing the channel FFT with a matmul is
+    the TPU-first move: an (m, N) @ (N, C) matmul rides the MXU, and the
+    column dimension shards cleanly over a 'ch' mesh axis — each device
+    computes only its own channels' DFT rows with NO collectives (an FFT
+    along the sharded axis would force an all-to-all)."""
+    n = n_channels
+    if cols is None:
+        cols = np.arange(n)
+    r = np.arange(n)[:, None]
+    w = np.exp(-2j * np.pi * r * np.asarray(cols)[None, :] / n)
+    return (np.ascontiguousarray(w.real, dtype=np.float32),
+            np.ascontiguousarray(w.imag, dtype=np.float32))
+
+
+def branch_filter(x, hist, weights, n_channels: int):
+    """Polyphase branch filtering only (no channel transform): complex64
+    in, returns (v (M, N) complex64, new_hist). v[m, r] is branch r at
+    decimated time m."""
+    n = x.shape[0]
+    nch = n_channels
+    xp = jnp.concatenate([hist, x])
+    mk = xp.shape[0] // nch
+    xb = xp.reshape(mk, nch)
+    lhs = jnp.stack([xb.real.T, xb.imag.T])          # (2, N, M+K-1)
+    v = jax.lax.conv_general_dilated(
+        lhs, weights, window_strides=(1,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32)          # (2, N, M)
+    vc = jax.lax.complex(v[0], v[1]).T               # (M, N)
+    return vc, xp[n:]
+
+
+def channel_transform(v, w_re, w_im):
+    """v (M, N) complex64 @ DFT (N, C) -> (M, C) complex64 channel
+    streams, as four real MXU matmuls."""
+    yr = (jnp.dot(v.real, w_re, preferred_element_type=jnp.float32)
+          - jnp.dot(v.imag, w_im, preferred_element_type=jnp.float32))
+    yi = (jnp.dot(v.real, w_im, preferred_element_type=jnp.float32)
+          + jnp.dot(v.imag, w_re, preferred_element_type=jnp.float32))
+    return jax.lax.complex(yr, yi)
+
+
 @functools.partial(jax.jit, static_argnames=("n_channels",))
 def channelize_block(x, hist, weights, *, n_channels: int):
     """Split one block into N channel streams.

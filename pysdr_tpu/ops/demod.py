@@ -56,7 +56,11 @@ class DemodState(NamedTuple):
     deemph: jax.Array       # float32 (2,) L/R de-emphasis one-pole state
     dc: jax.Array           # float32 (2,) DC blocker (x_prev, y_prev)
     agc_env: jax.Array      # float32 () AGC envelope
-    sq_gate: jax.Array      # float32 () smoothed squelch gate
+    sq_gate: jax.Array      # float32 () squelch latch (0 closed / 1 open)
+    sq_env: jax.Array       # float32 (3,) [in-band env, out-of-band env,
+                            #               smoothed gate] (squelch.m:134)
+    mute_hold: jax.Array    # float32 () auto-mute hold (samples remaining,
+                            # reference MUTE_TIME=0.25 s, params.py:447-450)
 
 
 class DemodParams(NamedTuple):
@@ -70,6 +74,9 @@ class DemodParams(NamedTuple):
     squelch_lin: jax.Array  # float32 () linear SNR threshold (0 = off)
     af_gain: jax.Array      # float32 ()
     agc_on: jax.Array       # bool ()
+    mute_gain: jax.Array    # float32 () 0.0 = per-RX MUTED, else 1.0
+    auto_mute_on: jax.Array # bool () strong-signal auto-mute armed
+    auto_mute_lin: jax.Array# float32 () linear baseband power threshold
 
 
 @dataclasses.dataclass(frozen=True)
@@ -83,6 +90,9 @@ class DemodDesign:
     agc: agc_ops.AGCParams = agc_ops.AGCParams()
     deemphasis_s: float = tables.WFM_DEEMPHASIS_S
     dc_pole: float = 0.9985
+    squelch_alpha: float = 0.001    # envelope one-pole (squelch.m:134)
+    squelch_hyst: float = 0.5       # close threshold = hyst * open (6 dB)
+    mute_hold_s: float = 0.25       # reference MUTE_TIME (params.py:447)
 
     def carrier_filter(self) -> np.ndarray:
         """Narrow one-sided LP around DC for carrier recovery."""
@@ -123,6 +133,8 @@ def init_state(design: DemodDesign) -> DemodState:
         dc=np.zeros(2, np.float32),
         agc_env=agc_ops.init_state(),
         sq_gate=np.ones((), np.float32),
+        sq_env=np.array([0.0, 0.0, 1.0], np.float32),
+        mute_hold=np.zeros((), np.float32),
     )
 
 
@@ -215,31 +227,61 @@ def demod_block(iq, state: DemodState, p: DemodParams, design: DemodDesign,
     audio = jax.lax.complex(left, jnp.where(mode == Mode.WFM2, right,
                                             jnp.where(is_iq, y.imag, 0.0)))
 
-    # --- squelch: signal vs residual power ratio (sigs/squelch.m idea) ---
-    sig_p = jnp.mean(jnp.abs(y) ** 2)
-    tot_p = jnp.mean(jnp.abs(z) ** 2)
-    snr_lin = sig_p / jnp.maximum(tot_p - sig_p, 1e-12)
-    want_open = (p.squelch_lin <= 0.0) | (snr_lin > p.squelch_lin)
-    gate = jnp.where(want_open, 1.0, 0.0).astype(jnp.float32)
-    sq_gate = 0.3 * state.sq_gate + 0.7 * gate  # block-rate smoothing
-    audio = audio * sq_gate
+    # --- squelch (reference sigs/squelch.m:100-137): in-band vs
+    # out-of-band POWER envelopes, each a one-pole with alpha=0.001,
+    # gated through a hysteresis comparator (open above T, close below
+    # hyst*T) so the gate doesn't chatter at the threshold. In-band = the
+    # post-AF-filter audio; out-of-band = total minus in-band (squelch.m's
+    # elliptic LP z1 vs HP z2 split — power envelopes are slow next to the
+    # AF filter's group delay, so no sample alignment is needed).
+    alpha_sq = jnp.float32(design.squelch_alpha)
+    env_in, env_in_last = scanops.one_pole(
+        jnp.abs(y).astype(jnp.float32) ** 2, alpha_sq, state.sq_env[0])
+    env_tot, env_out_last = scanops.one_pole(
+        jnp.abs(z).astype(jnp.float32) ** 2, alpha_sq, state.sq_env[1])
+    ratio = env_in / jnp.maximum(env_tot - env_in, 1e-9)
+    open_ = ratio > p.squelch_lin
+    close = ratio < design.squelch_hyst * p.squelch_lin
+    gate, gate_last = scanops.sr_latch(open_, close, state.sq_gate)
+    sq_off = p.squelch_lin <= 0.0
+    gate = jnp.where(sq_off, 1.0, gate)
+    gate_last = jnp.where(sq_off, 1.0, gate_last)
+    # ~1 ms smoothing so the gate opens/closes without clicks
+    alpha_click = jnp.float32(min(1.0, 1000.0 / design.fs_out))
+    g_sm, g_sm_last = scanops.one_pole(gate, alpha_click, state.sq_env[2])
+    audio = audio * g_sm
+    sq_env = jnp.stack([env_in_last, env_out_last, g_sm_last])
 
     # --- AGC + gain ---
     audio, agc_env, _ = agc_ops.agc_block(audio, state.agc_env, design.agc,
                                           enabled=p.agc_on & ~is_iq)
     audio = audio * p.af_gain
 
+    # --- per-RX mute + strong-signal auto-mute (reference P.MUTED
+    # receiver.py:168-197; rx.auto_mute receiver.py:237-245 with a 0.25 s
+    # hold, params.py:447-450). Baseband power over the block trips the
+    # hold counter; the hold decays by one block of samples per step.
+    bb_pwr = jnp.mean(jnp.abs(iq) ** 2)
+    strong = p.auto_mute_on & (bb_pwr > p.auto_mute_lin)
+    hold = jnp.where(strong, jnp.float32(design.mute_hold_s * design.fs_out),
+                     jnp.maximum(state.mute_hold - n, 0.0))
+    auto_muted = p.auto_mute_on & (strong | (state.mute_hold > 0.0))
+    audio = audio * p.mute_gain * jnp.where(auto_muted, 0.0, 1.0)
+
     new_state = DemodState(
         af_hist=af_hist, carrier_hist=carrier_hist, pilot_hist=pilot_hist,
         lr_hist=lr_hist, disc_last=disc_last, bfo_phase=bfo_phase,
-        deemph=deemph, dc=dc, agc_env=agc_env, sq_gate=sq_gate)
+        deemph=deemph, dc=dc, agc_env=agc_env, sq_gate=gate_last,
+        sq_env=sq_env, mute_hold=hold)
     return audio, new_state
 
 
 def make_params(design: DemodDesign, mode: Mode, af_bw_hz: float = 0.0,
                 bfo_hz: float = tables.CW_BFO_HZ, af_gain: float = 1.0,
                 squelch_db: float = -150.0, agc_on: bool = True,
-                deviation_hz: float | None = None) -> DemodParams:
+                deviation_hz: float | None = None, muted: bool = False,
+                auto_mute: bool = False,
+                auto_mute_db: float = -10.0) -> DemodParams:
     """Host-side construction of one channel's DemodParams."""
     fs = design.fs_out
     if af_bw_hz <= 0:
@@ -260,6 +302,8 @@ def make_params(design: DemodDesign, mode: Mode, af_bw_hz: float = 0.0,
                         if mode in (Mode.WFM, Mode.WFM2)
                         else tables.NFM_DEVIATION_HZ)
     fm_scale = fs / (2.0 * np.pi * deviation_hz)
+    # squelch threshold is an in-band/out-of-band power-envelope ratio
+    # (sigs/squelch.m), so dB converts at 10 dB/decade
     squelch_lin = 0.0 if squelch_db <= -149 else 10 ** (squelch_db / 10)
     return DemodParams(
         mode=jnp.int32(int(mode)),
@@ -269,4 +313,7 @@ def make_params(design: DemodDesign, mode: Mode, af_bw_hz: float = 0.0,
         squelch_lin=jnp.float32(squelch_lin),
         af_gain=jnp.float32(af_gain),
         agc_on=jnp.asarray(agc_on),
+        mute_gain=jnp.float32(0.0 if muted else 1.0),
+        auto_mute_on=jnp.asarray(bool(auto_mute)),
+        auto_mute_lin=jnp.float32(10 ** (auto_mute_db / 10)),
     )

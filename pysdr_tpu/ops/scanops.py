@@ -60,6 +60,28 @@ def dc_block(x, r, state):
     return y, (x[-1], y_last)
 
 
+def sr_latch(set_, reset, g_prev):
+    """Set/reset latch over a block — the hysteresis comparator pattern
+    (squelch open above T_open, close below T_close, hold in between).
+
+    set_, reset: bool (n,) per-sample commands (set wins over reset when
+    both fire); g_prev: float32 () previous gate in {0, 1}.
+    Returns (gate float32 (n,), gate_last). Associative: each sample is a
+    command in {+1 set, -1 reset, 0 hold}; composition keeps the later
+    non-hold command, so lax.associative_scan gives O(log n) depth.
+    """
+    cmd = jnp.where(set_, jnp.int32(1),
+                    jnp.where(reset, jnp.int32(-1), jnp.int32(0)))
+
+    def combine(c1, c2):
+        return jnp.where(c2 != 0, c2, c1)
+
+    eff = jax.lax.associative_scan(combine, cmd)
+    init = jnp.where(g_prev > 0.5, jnp.int32(1), jnp.int32(-1))
+    gate = (jnp.where(eff != 0, eff, init) > 0).astype(jnp.float32)
+    return gate, gate[-1]
+
+
 def one_pole_cas(x, alpha, y_prev, n_stages: int = 1):
     """Cascade of identical one-pole sections (sharper smoothing)."""
     ys = x

@@ -6,8 +6,8 @@ desired audio output rate, find the minimal rational (UP, DOWN) such that
 fs_out = fs_in * UP / DOWN, and derive TPU-friendly block sizes.
 
 The reference validates e.g. 2.048 MHz -> 48 kHz = 3/128 and
-8 MHz -> 192 kHz = 3/125 (srates.py:35-74); test_rates.py reproduces that
-table.
+8 MHz -> 192 kHz = 3/125 (srates.py:35-74); tests/test_resample.py
+reproduces that table and checks the plan invariants.
 """
 
 from __future__ import annotations

@@ -104,6 +104,16 @@ class UdpMsgHandler:
     def auto_mute(self) -> bool:
         return self.so2v or self.dxsplit
 
+    def _apply_mute_policy(self, entering: bool):
+        """SO2V/SPLIT ON arms strong-signal auto-mute on every RX and
+        unmutes RX0; OFF disarms and restores RX0 mute (the reference's
+        `P.ENABLE_AUTO_MUTE = DXSPLIT or SO2V; gui.MuteCB(0, not SO2V)`,
+        reference udp.py:43-60). Applied at the next block boundary."""
+        if self.ex is None:
+            return
+        self.ex.post("set_auto_mute_all", self.auto_mute)
+        self.ex.post("set_mute", 0, not entering)
+
     def handle(self, msg: str) -> list[str]:
         """Process one datagram (possibly multiple newline-separated
         messages); returns replies to send back."""
@@ -116,8 +126,10 @@ class UdpMsgHandler:
             key = mm[0]
             if key == "SO2V":
                 self.so2v = mm[1] == "ON"
+                self._apply_mute_policy(self.so2v)
             elif key == "SPLIT":
                 self.dxsplit = mm[1] == "ON"
+                self._apply_mute_policy(self.dxsplit)
             elif key == "Name":
                 if mm[1] == "?":
                     replies.append(f"Name:{SERVER_NAME}\n")
