@@ -1,71 +1,213 @@
-"""Headline benchmark: IQ samples/s through the full mix+filter+demod chain.
+"""Headline benchmark: IQ samples/s through the full mix+filter+demod chain,
+across the BASELINE.md measurement plan (configs 1-5) plus an end-to-end
+(host->device->host) number and an XLA-vs-Pallas pair.
 
-Config: 4 independent receivers (AM/NFM/USB/CW) over an 8 MHz passband —
-BASELINE.json config 4, the reference's maximum advertised configuration
-(4 RXs over the SDRplay's ~8 MHz usable bandwidth at its 10 Msps ceiling,
-/root/reference/README.md:27, Tables.py:45).
+Prints ONE JSON line {metric, value, unit, vs_baseline, extra}:
+  metric/value  = RF input samples/s through the 4-channel 8 MHz bank
+                  (BASELINE config 4 — the reference's maximum advertised
+                  configuration, /root/reference/README.md:27, Tables.py:45);
+  vs_baseline   = value / 10 Msamp/s, the reference's real-time design
+                  envelope (it publishes no benchmark numbers; BASELINE.md);
+  extra         = the full per-config table: configs 1-3 (one executable —
+                  modes are traced params), config 5 (64-ch channelizer),
+                  end_to_end (host source -> device -> host audio via the
+                  streaming executive), pallas_4ch, and an HBM-traffic
+                  estimate for the headline config.
 
-Prints ONE JSON line {metric, value, unit, vs_baseline}.
-value       = RF input samples/s sustained through the whole 4-channel bank.
-vs_baseline = value / 10 Msamp/s — the reference's real-time design
-              envelope (it publishes no benchmark numbers; BASELINE.md).
+Each config runs in a SUBPROCESS with a hard timeout: compiles on the
+axon-tunneled backend can take minutes and must not hang the whole bench.
+Run `python bench.py <name>` for one config standalone.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
-import numpy as np
+BASELINE_SPS = 10e6          # reference max real-time RF rate (BASELINE.md)
+HBM_GBPS_NOMINAL = 819.0     # v5e HBM bandwidth, for the roofline estimate
+
+CONFIGS = {   # name -> (timeout_s, description)
+    "bank4": (520, "4-RX mixed-mode bank over 8 MHz (BASELINE config 4)"),
+    "modes1ch": (520, "1-RX AM/NFM+squelch/SSB+AGC at 2.048 MHz "
+                      "(BASELINE configs 1-3, one executable)"),
+    "chan64": (520, "64-channel polyphase channelizer + demod at "
+                    "12.288 MHz (BASELINE config 5)"),
+    "end_to_end": (520, "host synth -> device bank -> host audio, "
+                        "streaming executive"),
+    "pallas4": (520, "bank4 with the fused Pallas mix+decimate kernel"),
+}
+
+
+def _measure(step, blocks, iters=20):
+    import jax
+    out = step(blocks[0])
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = step(blocks[i % len(blocks)])
+    jax.block_until_ready(out)
+    return time.perf_counter() - t0, iters
+
+
+def _rand_blocks(in_block, n=4):
+    import jax
+    import jax.numpy as jnp
+    key = jax.random.PRNGKey(0)
+    return [jax.device_put(jax.random.normal(
+        jax.random.fold_in(key, i), (in_block, 2), jnp.float32))
+        for i in range(n)]
+
+
+def _bank(fs_in, modes, out_block, spacing=500e3, foffset=750e3,
+          use_pallas=False, squelch_db=-150.0):
+    from pysdr_tpu.config import PipelineConfig, ReceiverConfig
+    from pysdr_tpu.models.receiver import ReceiverBank
+    fc0 = 100e6
+    rxs = tuple(
+        ReceiverConfig(fc_hz=fc0 + spacing * i, mode=m,
+                       squelch_db=squelch_db)
+        for i, m in enumerate(modes))
+    cfg = PipelineConfig(fs_in=fs_in, fs_out=48e3, out_block=out_block,
+                         foffset_hz=foffset, receivers=rxs)
+    return ReceiverBank(cfg, use_pallas=use_pallas)
+
+
+def bench_bank4(use_pallas=False):
+    from pysdr_tpu.tables import Mode
+    bank = _bank(8e6, [Mode.AM, Mode.NFM, Mode.USB, Mode.CW],
+                 out_block=24576, use_pallas=use_pallas)
+    d = bank.design
+    blocks = _rand_blocks(d.in_block)
+    dt, iters = _measure(bank.step_device, blocks)
+    sps = d.in_block * iters / dt
+    res = {"samples_per_s": sps, "in_block": d.in_block, "n_rx": 4}
+    if not use_pallas:
+        # HBM-traffic estimate for the roofline: per channel the framed
+        # resampler reads ~L/down x the input plus writes the decimated
+        # baseband; demod runs at the audio rate (negligible traffic).
+        import numpy as np
+        kp = -(-d.video_taps // d.up)
+        L = d.down + kp - 1
+        bytes_per_in = 8 * (1 + 4 * (L / d.down))  # input + 4ch frames
+        res["hbm_gbps_est"] = sps * bytes_per_in / 1e9
+        res["hbm_util_est"] = res["hbm_gbps_est"] / HBM_GBPS_NOMINAL
+    return res
+
+
+def bench_modes1ch():
+    """BASELINE configs 1-3 with ONE compiled executable: mode, squelch,
+    and AGC are traced params, so the three configs are pure param swaps
+    (the framework's core design claim, models/receiver.py)."""
+    from pysdr_tpu.tables import Mode
+    bank = _bank(2.048e6, [Mode.AM], out_block=16384, spacing=0,
+                 foffset=120e3)
+    d = bank.design
+    blocks = _rand_blocks(d.in_block)
+    out = {}
+    t_c0 = time.perf_counter()
+    for name, mode, squelch in (("am", Mode.AM, -150.0),
+                                ("nfm_squelch", Mode.NFM, 10.0),
+                                ("ssb_agc", Mode.USB, -150.0)):
+        bank.set_mode(0, mode)
+        bank.set_squelch(0, squelch)
+        dt, iters = _measure(bank.step_device, blocks)
+        out[name] = d.in_block * iters / dt
+    out["compile_plus_bench_s"] = time.perf_counter() - t_c0
+    out["in_block"] = d.in_block
+    return out
+
+
+def bench_chan64():
+    from pysdr_tpu.models.channelizer_bank import (ChannelizerBank,
+                                                   ChannelizerBankConfig,
+                                                   ChannelSettings)
+    from pysdr_tpu.tables import Mode
+    n = 64
+    cfg = ChannelizerBankConfig(
+        fs_in=n * 192e3, n_channels=n, fs_out=48e3, out_block=3072,
+        fc_hz=100e6,
+        channels=tuple(ChannelSettings(mode=Mode.AM)
+                       for _ in range(n)))
+    cb = ChannelizerBank(cfg)
+    blocks = _rand_blocks(cb.in_block)
+    dt, iters = _measure(cb.step_device, blocks)
+    return {"samples_per_s": cb.in_block * iters / dt,
+            "in_block": cb.in_block, "n_channels": n,
+            "fs_in": cfg.fs_in}
+
+
+def bench_end_to_end():
+    """The product number: host synth source -> device -> host audio pull
+    through the streaming executive (the path VERDICT r1 flagged as never
+    measured)."""
+    from pysdr_tpu import app as app_mod
+    args = app_mod.build_parser().parse_args(
+        ["--fs", "2.048", "--block", "16384", "--fc", "100.0"])
+    a = app_mod.App(args)
+    # warm up / compile one block
+    a.ex.run(n_blocks=1)
+    t0 = time.perf_counter()
+    n_blocks = 30
+    a.ex.run(n_blocks=1 + n_blocks)
+    dt = time.perf_counter() - t0
+    d = a.bank.design
+    return {"samples_per_s": n_blocks * d.in_block / dt,
+            "in_block": d.in_block,
+            "audio_sps_out": n_blocks * d.out_block / dt}
+
+
+def run_config(name: str):
+    if name == "bank4":
+        return bench_bank4()
+    if name == "pallas4":
+        return bench_bank4(use_pallas=True)
+    if name == "modes1ch":
+        return bench_modes1ch()
+    if name == "chan64":
+        return bench_chan64()
+    if name == "end_to_end":
+        return bench_end_to_end()
+    raise SystemExit(f"unknown config {name}")
 
 
 def main():
-    import jax
-    import jax.numpy as jnp
-    from pysdr_tpu.utils import enable_compilation_cache
-    enable_compilation_cache()
-    from pysdr_tpu.config import PipelineConfig, ReceiverConfig
-    from pysdr_tpu.models.receiver import ReceiverBank
-    from pysdr_tpu.tables import Mode
+    if len(sys.argv) > 1:                      # child / standalone mode
+        print(json.dumps(run_config(sys.argv[1])))
+        return
 
-    fs_in = 8e6
-    modes = [Mode.AM, Mode.NFM, Mode.USB, Mode.CW]
-    fc0 = 100e6
-    rxs = tuple(
-        ReceiverConfig(fc_hz=fc0 + 500e3 * i, mode=modes[i % 4])
-        for i in range(4))
-    # out_block 24576 -> in_block = 8192*500 = 4.096 Msamples (~0.5 s RF)
-    cfg = PipelineConfig(fs_in=fs_in, fs_out=48e3, out_block=24576,
-                         foffset_hz=750e3, receivers=rxs)
-    bank = ReceiverBank(cfg)
-    d = bank.design
+    deadline = time.monotonic() + float(
+        os.environ.get("PYSDR_TPU_BENCH_DEADLINE", 1800))
+    extra: dict = {}
+    for name, (budget, _desc) in CONFIGS.items():
+        left = deadline - time.monotonic()
+        if left < 60:
+            extra[name] = {"skipped": "bench deadline"}
+            continue
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), name],
+                timeout=min(budget, left), capture_output=True, text=True)
+            if p.returncode == 0:
+                extra[name] = json.loads(p.stdout.strip().splitlines()[-1])
+            else:
+                extra[name] = {"error": p.stderr.strip()[-400:]}
+        except subprocess.TimeoutExpired:
+            extra[name] = {"error": f"timeout after {budget}s"}
+        except Exception as e:  # noqa: BLE001
+            extra[name] = {"error": str(e)[:400]}
+        print(f"# {name}: {extra[name]}", file=sys.stderr, flush=True)
 
-    key = jax.random.PRNGKey(0)
-    n_bufs = 4
-    # packed float32 re/im pairs (complex64 cannot cross the host/device
-    # boundary on this backend — ops/cplx.py)
-    blocks = [jax.device_put(jax.random.normal(
-        jax.random.fold_in(key, i), (d.in_block, 2), jnp.float32))
-        for i in range(n_bufs)]
-
-    # warmup / compile
-    audio = bank.step_device(blocks[0])
-    audio.block_until_ready()
-
-    iters = 20
-    t0 = time.perf_counter()
-    for i in range(iters):
-        audio = bank.step_device(blocks[i % n_bufs])
-    audio.block_until_ready()
-    dt = time.perf_counter() - t0
-
-    samples_per_s = d.in_block * iters / dt
-    baseline = 10e6  # reference max real-time RF rate (BASELINE.md)
+    headline = extra.get("bank4", {}).get("samples_per_s", 0.0)
     print(json.dumps({
         "metric": "rf_samples_per_s_4ch_bank",
-        "value": float(samples_per_s),
+        "value": float(headline),
         "unit": "samples/s",
-        "vs_baseline": float(samples_per_s / baseline),
+        "vs_baseline": float(headline / BASELINE_SPS),
+        "extra": extra,
     }))
 
 

@@ -268,7 +268,7 @@ class App:
                 HamlibServer(self.ex, i, port=base + i)
                 for i in range(self.bank.n_rx)]
         self.udp_server = None
-        if args.udp_port:
+        if args.udp_port is not None:
             from pysdr_tpu.runtime.udp import UdpMsgHandler, UdpServer
             self.udp_server = UdpServer(
                 UdpMsgHandler(executive=self.ex,

@@ -147,41 +147,135 @@ class RTTYDecoder:
     SNR-gate, and feed the baudot FSM (rtty.py:567-700).
     """
 
-    def __init__(self, design: RTTYDesign):
+    def __init__(self, design: RTTYDesign, rescan_every: int = 4,
+                 expire_after: int = 4, thresh_db: float = 10.0,
+                 rel_db: float = 40.0):
         self.design = design
         self.window = jnp.asarray(design.window())
+        # jitted filterbank: complex64 must never materialize eagerly on
+        # the axon TPU backend (ops/cplx.py policy)
+        self._fb = jax.jit(
+            lambda xp: filterbank_block(xp, design, self.window))
         self.templates = jnp.asarray(char_templates(design))
-        self.channels: list[dict] = []   # {bin, clock_phase, figs, text}
+        self.channels: list[dict] = []   # {mark_bin, figs, text, ...}
         self._soft_tail = None
         self._iq_tail = None             # keeps frames hop-aligned across blocks
+        # continuous-scan policy (the reference scans every pass,
+        # rtty.py:744-776): re-scan every N blocks, expire a channel after
+        # M consecutive scans below threshold
+        self.rescan_every = max(1, rescan_every)
+        self.expire_after = max(1, expire_after)
+        self.thresh_db = thresh_db
+        # dynamic-range window: ignore pairs more than rel_db below the
+        # strongest pair (suppresses filter-stopband images of strong
+        # stations on clean captures, where the absolute floor is ~0)
+        self.rel_db = rel_db
+        self._n_blocks = 0
 
-    def detect_channels(self, mags_np: np.ndarray, thresh_db: float = 10.0):
-        """Find FSK pairs: peaks separated by shift_bins above the median
-        floor. mags_np: (n_frames, nfft) host array."""
+    def _new_channel(self, mark_bin: int) -> dict:
+        return {"mark_bin": int(mark_bin), "figs": False, "text": "",
+                "snr_db": 0.0, "idle_scans": 0}
+
+    def _candidate_bins(self, avg: np.ndarray,
+                        pk: np.ndarray | None = None) -> list[int]:
+        """Mark-bin candidates: FSK pairs (mark + space shift_bins below)
+        above the median floor, strongest first, de-overlapped. The
+        threshold tests the pair's JOINT mean energy: FSK keys exactly one
+        of the two tones at any instant, so mark+space together is
+        duty-cycle-invariant, while either bin alone under-reports at
+        mark-heavy duty cycles (idle is all-mark). Floor = 25th
+        percentile: at the reference's 100-stations-in-band density
+        (rtty.py:56) the MEDIAN bin is already signal-occupied."""
         d = self.design
-        avg = mags_np.mean(axis=0)
-        floor = np.median(avg)
+        floor = np.percentile(avg, 25)
         sb = d.shift_bins
         cand = []
-        # score each possible mark bin by joint mark+space prominence
         joint = avg + np.roll(avg, sb)   # mark at b, space at b - shift
         order = np.argsort(joint)[::-1]
         used = np.zeros(len(avg), bool)
+        min_joint = joint.max() * 10 ** (-self.rel_db / 20)
         for b in order:
             if len(cand) >= d.max_channels:
                 break
             sp = (b - sb) % len(avg)
             if used[b] or used[sp]:
                 continue
-            if 20 * np.log10(avg[b] / floor + 1e-12) < thresh_db or \
-               20 * np.log10(avg[sp] / floor + 1e-12) < thresh_db:
+            if joint[b] < min_joint:
+                break            # sorted descending — all weaker below
+            if 20 * np.log10(joint[b] / (2 * floor) + 1e-12) \
+                    < self.thresh_db:
                 continue
+            # exclusion zone [mark-2*shift, mark+shift]: covers the pair's
+            # own span plus the keying sidebands below the space tone
+            # (which otherwise spawn shadow channels decoding duplicate
+            # text) while staying narrower than the reference's
+            # 100-stations-in-band pitch (rtty.py:56)
             lo = max(0, b - 2 * sb)
-            used[lo:b + 2 * sb] = True
+            used[lo:b + sb + 1] = True
             cand.append(int(b))
-        self.channels = [{"mark_bin": b, "figs": False, "text": "",
-                          "snr_db": 0.0} for b in sorted(cand)]
+        return cand
+
+    def detect_channels(self, mags_np: np.ndarray,
+                        thresh_db: float | None = None):
+        """Initial scan: replace the channel list (reference find_sigs,
+        rtty.py:744-776)."""
+        if thresh_db is not None:
+            self.thresh_db = thresh_db
+        cand = self._candidate_bins(mags_np.mean(axis=0))
+        self.channels = [self._new_channel(b) for b in sorted(cand)]
         return [c["mark_bin"] for c in self.channels]
+
+    def rescan(self, mags_np: np.ndarray) -> tuple[list[int], list[int]]:
+        """Continuous operation: merge newly-appeared stations into the
+        channel list and expire ones that have gone quiet, preserving the
+        decode state (pos/figs/lock) of surviving channels. Returns
+        (added_bins, removed_bins)."""
+        d = self.design
+        avg = mags_np.mean(axis=0)
+        sb = d.shift_bins
+        cand = self._candidate_bins(avg)
+        added, removed = [], []
+        # activity bookkeeping for existing channels (joint mark+space
+        # energy, duty-cycle invariant — see _candidate_bins)
+        floor = np.percentile(avg, 25)
+        for ch in self.channels:
+            b = ch["mark_bin"]
+            sp = (b - sb) % len(avg)
+            snr = 20 * np.log10((avg[b] + avg[sp]) / (2 * floor) + 1e-12)
+            ch["snr_db"] = float(snr)
+            active = snr >= self.thresh_db or any(
+                abs(c - b) <= sb for c in cand)
+            ch["idle_scans"] = 0 if active else ch.get("idle_scans", 0) + 1
+        survivors = []
+        for ch in self.channels:
+            if ch["idle_scans"] >= self.expire_after:
+                removed.append(ch["mark_bin"])
+            else:
+                survivors.append(ch)
+        # add genuinely new stations (not near a survivor)
+        for b in cand:
+            if len(survivors) >= d.max_channels:
+                break
+            if all(abs(b - ch["mark_bin"]) > 2 * sb for ch in survivors):
+                nc = self._new_channel(b)
+                survivors.append(nc)
+                added.append(b)
+        if added or removed:
+            # remap the persistent soft-bit tail to the new channel order:
+            # survivors keep their column, new channels start from zeros
+            old_idx = {ch["mark_bin"]: i
+                       for i, ch in enumerate(self.channels)}
+            survivors.sort(key=lambda c: c["mark_bin"])
+            if self._soft_tail is not None:
+                tail = np.zeros((len(self._soft_tail), len(survivors)),
+                                np.float32)
+                for j, ch in enumerate(survivors):
+                    i = old_idx.get(ch["mark_bin"])
+                    if i is not None:
+                        tail[:, j] = self._soft_tail[:, i]
+                self._soft_tail = tail
+        self.channels = survivors
+        return added, removed
 
     def decode_block(self, x_packed) -> list[str]:
         """Process one baseband block; returns newly decoded text per
@@ -199,9 +293,16 @@ class RTTYDecoder:
             return ["" for _ in self.channels]
         consumed = n_frames * hop
         self._iq_tail = x[consumed:].copy()
-        mags = filterbank_block(cplx.pack(x), d, self.window)
+        mags = self._fb(cplx.pack(x))
+        self._n_blocks += 1
         if not self.channels:
             self.detect_channels(np.asarray(mags))
+            if not self.channels:
+                return []
+        elif self._n_blocks % self.rescan_every == 0:
+            # continuous station add/expire (reference re-scans every
+            # pass, rtty.py:744-776)
+            self.rescan(np.asarray(mags))
             if not self.channels:
                 return []
         nfft = d.nfft
@@ -216,6 +317,11 @@ class RTTYDecoder:
             soft_np = np.concatenate([self._soft_tail, soft_np])
         fpc = d.frames_per_char
         keep = 2 * fpc
+        if soft_np.shape[0] < fpc:
+            # not one character's worth of frames yet (small device
+            # blocks) — accumulate and wait
+            self._soft_tail = soft_np.copy()
+            return ["" for _ in self.channels]
         sc = np.asarray(matched_scores(jnp.asarray(soft_np),
                                        self.templates))  # (n_off, n_ch, 32)
         out = []
@@ -247,8 +353,11 @@ class RTTYDecoder:
             # only a ±1-frame jitter window so shift chars can't be skipped
             span = 3 if locked else fpc
             lo = max(0, pos - 1) if locked else pos
-            hi = min(lo + span, n_off)
-            if hi <= lo:
+            hi = lo + span
+            if hi > n_off:
+                # the full search span hasn't streamed in yet — deciding
+                # on a truncated window picks premature off-center chars
+                # (garbles small-block incremental decode); wait
                 break
             win = scores[lo:hi]
             best = np.unravel_index(np.argmax(win), win.shape)

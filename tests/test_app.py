@@ -1,0 +1,131 @@
+"""End-to-end application wiring tests (the composition the reference
+exercises through pySDR.py/am.py): config build, replay -> demod -> wav,
+the --rtty full-chain decode, presets, and the control-plane startup."""
+
+import os
+import time
+import wave
+
+import numpy as np
+import pytest
+
+from pysdr_tpu import app as app_mod
+from pysdr_tpu.io import datfile
+from pysdr_tpu.tables import Mode
+
+
+def run_app(argv):
+    args = app_mod.build_parser().parse_args(argv)
+    a = app_mod.App(args)
+    a.run()
+    return a
+
+
+def test_build_config_modes_and_mutes():
+    args = app_mod.build_parser().parse_args(
+        ["--fc", "100.0", "100.02", "--modes", "AM", "NFM",
+         "--mute", "1", "--auto-mute", "--squelch", "8"])
+    cfg = app_mod.build_config(args)
+    assert [r.mode for r in cfg.receivers] == [Mode.AM, Mode.NFM]
+    assert not cfg.receivers[0].muted and cfg.receivers[1].muted
+    assert all(r.auto_mute for r in cfg.receivers)
+    assert cfg.receivers[0].squelch_db == 8.0
+
+
+def test_app_synth_to_wav(tmp_path):
+    """The am.py moment through the real App: synth source -> bank ->
+    executive -> wav sink; RX0 carries a 400 Hz AM tone."""
+    prefix = str(tmp_path / "out")
+    a = run_app(["--fs", "0.512", "--block", "4096", "--blocks", "8",
+                 "--wav", prefix])
+    w = wave.open(prefix + "_rx0.wav")
+    d = np.frombuffer(w.readframes(w.getnframes()), np.int16).reshape(
+        -1, w.getnchannels())[:, 0].astype(np.float32)
+    assert len(d) >= 4096 * 6
+    seg = d[len(d) // 2:]
+    sp = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+    pk = np.fft.rfftfreq(len(seg), 1.0 / w.getframerate())[
+        5 + np.argmax(sp[5:])]
+    assert abs(pk - 400.0) < 10.0, pk
+
+
+def test_app_replay_roundtrip(tmp_path):
+    """--save-iq record then --replay of the same capture demodulates
+    the same station (reference record/replay oracle, SURVEY §4.1)."""
+    a = run_app(["--fs", "0.512", "--block", "4096", "--blocks", "6",
+                 "--save-iq", "--save-dir", str(tmp_path)])
+    dats = [f for f in os.listdir(tmp_path) if f.endswith(".dat")]
+    assert len(dats) == 1
+    wav_prefix = str(tmp_path / "replayed")
+    a2 = run_app(["--replay", str(tmp_path / dats[0]), "--no-loop",
+                  "--block", "4096", "--wav", wav_prefix])
+    w = wave.open(wav_prefix + "_rx0.wav")
+    d = np.frombuffer(w.readframes(w.getnframes()), np.int16).reshape(
+        -1, w.getnchannels())[:, 0].astype(np.float32)
+    seg = d[len(d) // 2:]
+    sp = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+    pk = np.fft.rfftfreq(len(seg), 1.0 / w.getframerate())[
+        5 + np.argmax(sp[5:])]
+    assert abs(pk - 400.0) < 10.0, pk
+
+
+def test_app_rtty_full_chain(tmp_path):
+    """--rtty through the COMPLETE chain: RF-rate FSK capture -> replay
+    source -> NCO/decimate (IQ passthrough demod) -> baseband tap ->
+    wideband RTTY decoder (reference demodulate_data RTTY feed,
+    receiver.py:286-290)."""
+    from pysdr_tpu.models import rtty as rtty_mod
+    fs_rf = 512e3
+    dsig = rtty_mod.RTTYDesign(fs=fs_rf)
+    # station 1 kHz above the RX center
+    x = rtty_mod.synthesize_rtty("RYRY CQ CQ DE AA2IL AA2IL", dsig,
+                                 carrier_hz=120e3 + 1000.0)
+    path = str(tmp_path / "rtty_capture.dat")
+    w = datfile.DatWriter(path, fs=fs_rf, fc=100e6 - 120e3)
+    w.save_data(x)
+    w.close()
+    a = run_app(["--replay", path, "--no-loop", "--fc", "100.0",
+                 "--mode", "RTTY", "--block", "4096", "--rtty", "0"])
+    text = "".join(a.rtty_text)
+    assert "AA2IL" in text, (text, a.rtty_text)
+
+
+def test_app_control_plane_services():
+    """--hamlib/--udp-port start servers that drive the running bank."""
+    import socket
+    args = app_mod.build_parser().parse_args(
+        ["--fs", "0.512", "--block", "4096", "--hamlib",
+         "--hamlib-port", "0", "--udp-port", "0"])
+    a = app_mod.App(args)
+    a.start_services()
+    try:
+        # hamlib: retune RX0 over TCP (rigctl protocol); applied at the
+        # next block boundary
+        port = a.hamlib_servers[0].port
+        s = socket.create_connection(("127.0.0.1", port), timeout=5)
+        s.sendall(b"F 100100000\n")
+        assert s.recv(64).startswith(b"RPRT 0")
+        # udp: SO2V arms auto-mute
+        u = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        u.sendto(b"SO2V:ON\n", ("127.0.0.1", a.udp_server.port))
+        u.close()
+        deadline = time.monotonic() + 10
+        while a.ex._cmd_q.qsize() < 3 and time.monotonic() < deadline:
+            time.sleep(0.02)
+        a.ex.run(n_blocks=2)      # block boundary applies the commands
+        s.sendall(b"f\n")
+        reply = s.recv(64)
+        s.close()
+        assert b"100100000" in reply, reply
+        assert a.bank._rx_cfgs[0].auto_mute
+        assert not a.bank._rx_cfgs[0].muted
+    finally:
+        a.stop_services()
+        a.ex.stop()
+
+
+def test_app_list_presets(capsys):
+    rc = app_mod.main(["--list-presets"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "MHz" in out or len(out.splitlines()) > 0

@@ -79,3 +79,73 @@ def test_streaming_decode_across_blocks():
         texts = dec.decode_block(cplx.pack(x[i * n4:(i + 1) * n4]))
         out += "".join(texts)
     assert "QUICK" in out and "FOX" in out, out
+
+
+def test_station_appears_mid_stream():
+    """Continuous scan: a station that starts transmitting AFTER the
+    decoder is running must be found by a later rescan and decoded
+    (reference scans every pass, rtty.py:744-776; VERDICT r1 weak #8)."""
+    d = make_design()
+    from pysdr_tpu.ops import cplx
+    rng = np.random.default_rng(5)
+    dec = rtty.RTTYDecoder(d, rescan_every=1)
+    blk = 8 * d.bit_len * d.bits_per_char
+    # phase 1: only station A on air
+    xa = rtty.synthesize_rtty("CQ CQ CQ DE AAA AAA", d, carrier_hz=-1500.0)
+    texts1 = []
+    for i in range(0, len(xa) - blk, blk):
+        texts1.append("".join(dec.decode_block(cplx.pack(xa[i:i + blk]))))
+    assert "AAA" in "".join(texts1)
+    n_ch_before = len(dec.channels)
+    # phase 2: station B keys up at +2000 Hz while A keeps going
+    xa2 = rtty.synthesize_rtty("AAA AAA AAA AAA", d, carrier_hz=-1500.0)
+    xb = rtty.synthesize_rtty("DE BBB BBB BBB", d, carrier_hz=2000.0)
+    n = min(len(xa2), len(xb))
+    both = (xa2[:n] + xb[:n]).astype(np.complex64)
+    texts2 = []
+    for i in range(0, n - blk, blk):
+        texts2.append("".join(dec.decode_block(cplx.pack(both[i:i + blk]))))
+    assert len(dec.channels) > n_ch_before
+    assert "BBB" in "".join(texts2), texts2
+
+
+def test_station_expires_when_quiet():
+    d = make_design()
+    from pysdr_tpu.ops import cplx
+    dec = rtty.RTTYDecoder(d, rescan_every=1, expire_after=2)
+    blk = 8 * d.bit_len * d.bits_per_char
+    x = rtty.synthesize_rtty("RYRYRYRYRY", d, carrier_hz=1000.0)
+    for i in range(0, len(x) - blk, blk):
+        dec.decode_block(cplx.pack(x[i:i + blk]))
+    assert len(dec.channels) >= 1
+    # carrier drops; noise only
+    rng = np.random.default_rng(0)
+    for _ in range(4):
+        nz = 0.001 * (rng.standard_normal(blk)
+                      + 1j * rng.standard_normal(blk))
+        dec.decode_block(cplx.pack(nz.astype(np.complex64)))
+    assert len(dec.channels) == 0
+
+
+def test_100_parallel_channels():
+    """The reference's headline capacity: 100 parallel 45.45-baud decoders
+    (rtty.py:56). One filterbank + one matched-filter matmul serves all of
+    them; >=90 must decode their text."""
+    d = rtty.RTTYDesign(fs=48000.0)
+    from pysdr_tpu.ops import cplx
+    n_st = 100
+    spacing = 460.0                      # Hz between stations
+    carriers = (np.arange(n_st) - n_st / 2) * spacing + 137.0
+    msgs = [f"ST{i:02d}" for i in range(n_st)]
+    # RYRY sync preamble + repetition, the standard RTTY operating
+    # practice the reference's captures also contain (rtty:1-40)
+    xs = [rtty.synthesize_rtty(f"RYRY {m} {m}", d, carrier_hz=c)
+          for m, c in zip(msgs, carriers)]
+    n = min(len(x) for x in xs)
+    x = np.sum([x[:n] for x in xs], axis=0).astype(np.complex64)
+    dec = rtty.RTTYDecoder(d)
+    texts = dec.decode_block(cplx.pack(x))
+    assert len(dec.channels) >= 90, len(dec.channels)
+    joined = "".join(texts)
+    got = sum(1 for m in msgs if m in joined)
+    assert got >= 90, (got, len(dec.channels))
