@@ -39,6 +39,8 @@ CONFIGS = {   # name -> (timeout_s, description)
     "end_to_end": (520, "host synth -> device bank -> host audio, "
                         "streaming executive"),
     "pallas4": (520, "bank4 with the fused Pallas mix+decimate kernel"),
+    "host_source": (240, "replay-file host feeding rate: C++ streamer vs "
+                         "Python reader (SURVEY §7 hard part 4)"),
 }
 
 
@@ -160,6 +162,50 @@ def bench_end_to_end():
             "audio_sps_out": n_blocks * d.out_block / dt}
 
 
+def bench_host_source():
+    """Host-side source feeding rate from a .dat replay file — must not be
+    the bottleneck at the device's consumption rate."""
+    import tempfile
+
+    import numpy as np
+    from pysdr_tpu.io import datfile
+    from pysdr_tpu.runtime import native
+
+    n = 1 << 24                  # 16 Msamples, 128 MiB complex64
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "bench.dat")
+        w = datfile.DatWriter(path, fs=10e6, fc=100e6)
+        chunk = np.zeros(1 << 20, np.complex64)
+        for _ in range(n // len(chunk)):
+            w.save_data(chunk)
+        w.close()
+        out = {}
+        block = 1 << 20
+        rd = datfile.DatReader(path)
+        t0 = time.perf_counter()
+        got = 0
+        while True:
+            x = rd.read_data(block)
+            got += len(x)
+            if len(x) < block:
+                break
+        out["python_reader_sps"] = got / (time.perf_counter() - t0)
+        if native.available():
+            ns = native.NativeStreamer(path)
+            t0 = time.perf_counter()
+            got = 0
+            while True:
+                xp = ns.read_packed(block)
+                got += len(xp)
+                if len(xp) < block:
+                    break
+            out["native_streamer_sps"] = got / (time.perf_counter() - t0)
+            ns.close()
+        else:
+            out["native_streamer_sps"] = None
+        return out
+
+
 def run_config(name: str):
     if name == "bank4":
         return bench_bank4()
@@ -171,6 +217,8 @@ def run_config(name: str):
         return bench_chan64()
     if name == "end_to_end":
         return bench_end_to_end()
+    if name == "host_source":
+        return bench_host_source()
     raise SystemExit(f"unknown config {name}")
 
 

@@ -76,6 +76,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--replay", type=str, nargs="+", default=None,
                     metavar=("FILE", "START_SEC"),
                     help="replay a recorded .dat file (optional start sec)")
+    ap.add_argument("--no-native", action="store_true",
+                    help="force the Python replay reader even when the "
+                         "C++ streamer (native/sdrio.cpp) is built")
     ap.add_argument("--no-loop", action="store_true",
                     help="stop at end of replay file instead of looping")
     ap.add_argument("--synth-noise", type=float, default=0.001,
@@ -121,12 +124,22 @@ def build_parser() -> argparse.ArgumentParser:
                     help="update displays every N blocks")
     ap.add_argument("--png-dir", type=str, default=None,
                     help="export waterfall PNGs here on exit")
+    ap.add_argument("--web", type=int, default=None, metavar="PORT",
+                    help="serve the live waterfall + click-to-tune viewer "
+                         "on this port (implies --psd; 0 = ephemeral)")
     # -- presets (reference presets.xls tabs; gui.py:408-435) --
     ap.add_argument("--preset", type=str, default=None,
                     help="tune RX0 to a named preset station")
     ap.add_argument("--presets-file", type=str, default=None)
     ap.add_argument("--list-presets", action="store_true")
+    ap.add_argument("--fldigi-ports", type=int, nargs="*", default=None,
+                    help="XML-RPC ports of fldigi/keyer instances to keep "
+                         "serial counters in sync (watchdog.py:382-414)")
     # -- diagnostics --
+    ap.add_argument("--memmon", type=str, nargs="?", default=None,
+                    const="/tmp/SDR_MEMORY.TXT", metavar="PATH",
+                    help="log RSS snapshots (reference Memory_Monitor, "
+                         "pySDR.py:224-225)")
     ap.add_argument("--internals", type=str, default=None, metavar="NPZ",
                     help="dump filter banks for cross-validation "
                          "(internals.mat harness, receiver.py:864-874)")
@@ -171,6 +184,14 @@ def build_source(args, cfg: cfg_mod.PipelineConfig):
     from pysdr_tpu.io import datfile, synth
     if args.replay:
         start = float(args.replay[1]) if len(args.replay) > 1 else 0.0
+        # C++ prefetch streamer when built (the >100 Msamp/s host-feeding
+        # path, SURVEY §7 hard part 4); Python reader for seek or fallback
+        if start == 0.0 and not args.no_native:
+            from pysdr_tpu.runtime import native
+            if native.available():
+                ns = native.NativeStreamer(args.replay[0],
+                                           loop=not args.no_loop)
+                return ns, ns.srate, ns.fc
         rd = datfile.DatReader(args.replay[0], start_sec=start)
         # replay restores fs/fc from the header (receiver.py:810-820)
         return rd, rd.srate, rd.fc
@@ -229,7 +250,7 @@ class App:
                 fs=d.fs_out, fc=fc_src, nchan=self.bank.n_rx)
 
         self.display = None
-        if args.psd or args.png_dir:
+        if args.psd or args.png_dir or args.web is not None:
             from pysdr_tpu.models.display import DisplayEngine
             self.display = DisplayEngine(self.bank,
                                          decimate=args.psd_every)
@@ -282,6 +303,21 @@ class App:
             self.rig = RigConnection(host or "127.0.0.1",
                                      int(port or 4532))
             self.follower = RigFollower(self.ex, self.rig)
+        self.web = None
+        if args.web is not None:
+            from pysdr_tpu.runtime.webview import WebViewer
+            self.web = WebViewer(self.display, self.ex, port=args.web)
+            print(f"live viewer: http://127.0.0.1:{self.web.port}/",
+                  flush=True)
+        self.memmon = None
+        if args.memmon:
+            from pysdr_tpu.runtime.memmon import MemoryMonitor
+            self.memmon = MemoryMonitor(args.memmon)
+        self.fldigi_sync = None
+        self._fldigi_stop = None
+        if args.fldigi_ports:
+            from pysdr_tpu.runtime.fldigi import CounterSync
+            self.fldigi_sync = CounterSync(args.fldigi_ports)
         self.hopper = None
         if args.hop:
             from pysdr_tpu.runtime.hopper import FreqHopper
@@ -293,6 +329,8 @@ class App:
     # per-block tap: display + RTTY feed (demodulate_data taps,
     # receiver.py:256-290)
     def _on_block(self, ex, audio):
+        if self.memmon is not None and ex.n_blocks % 32 == 0:
+            self.memmon.take_snapshot()
         if self.display is not None:
             self.display(ex, audio)
             if ex.last_rf_block is not None \
@@ -307,8 +345,19 @@ class App:
                     print(f"RTTY ch{i}: {txt}", flush=True)
 
     def start_services(self):
+        if self.fldigi_sync is not None:
+            import threading
+            self._fldigi_stop = threading.Event()
+
+            def _sync_loop():
+                while not self._fldigi_stop.is_set():
+                    self.fldigi_sync.sync_once()
+                    self._fldigi_stop.wait(2.0)   # watchdog 2 s cadence
+            threading.Thread(target=_sync_loop, daemon=True).start()
         for s in self.hamlib_servers:
             s.start()
+        if self.web:
+            self.web.start()
         if self.udp_server:
             self.udp_server.start()
         if self.follower:
@@ -325,12 +374,19 @@ class App:
                 p.start_playback(min_buffered=0, timeout=0.0)
 
     def stop_services(self):
+        if self._fldigi_stop is not None:
+            self._fldigi_stop.set()
+        if self.memmon is not None:
+            self.memmon.take_snapshot()
+            self.memmon.close()
         if self.hopper:
             self.hopper.stop()
         if self.follower:
             self.follower.stop()
         if self.udp_server:
             self.udp_server.stop()
+        if self.web:
+            self.web.stop()
         for s in self.hamlib_servers:
             s.stop()
         for w in self.watchdogs:
@@ -361,6 +417,13 @@ class App:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    # honor JAX_PLATFORMS=cpu: the axon TPU plugin's sitecustomize
+    # overrides it at interpreter boot, which silently turns "CPU" runs
+    # into remote-TPU runs (with minutes of compile latency)
+    import os
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     from pysdr_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
     # clean CLI errors instead of tracebacks for the common operator

@@ -82,6 +82,17 @@ class Executive:
         block_budget = d.in_block / d.fs_in
 
         def read_block():
+            # fast path: sources that yield float32 (n, 2) packed pairs
+            # directly (the C++ NativeStreamer) skip all host complex math
+            if hasattr(self.source, "read_packed"):
+                xp = self.source.read_packed(d.in_block)
+                if len(xp) < d.in_block:
+                    return None
+                x = xp.view(np.complex64).reshape(-1)
+                if self.raw_writer is not None:
+                    self.raw_writer.save_data(x)
+                self.last_rf_block = x
+                return jnp.asarray(xp)
             x = self.source.read_data(d.in_block, loop=self.loop_source) \
                 if self.loop_source else self.source.read_data(d.in_block)
             x = np.asarray(x).reshape(-1)[:d.in_block]

@@ -47,6 +47,11 @@ class RigState:
     def __init__(self, executive, rx_index: int):
         self.ex = executive
         self.i = rx_index
+        # TX-side state mirrored for loopback control (reference
+        # rig_control.py:268-363 sliders); AF/SQL map onto the bank
+        self.levels = {"RFPOWER": 0.5, "MICGAIN": 0.5,
+                       "MONITOR_GAIN": 0.0}
+        self.ant = 0
 
     @property
     def _cfg(self):
@@ -118,6 +123,27 @@ class _Handler(socketserver.StreamRequestHandler):
             return "0\nVFOA\n"
         if cmd == "\\chk_vfo":
             return "0\n"
+        if cmd in ("l", "\\get_level"):
+            name = args[0] if args else ""
+            if name == "AF":
+                return f"{rig._cfg.af_gain:g}\n"
+            if name == "SQL":
+                return f"{rig._cfg.squelch_db:g}\n"
+            return f"{rig.levels.get(name, 0.0):g}\n"
+        if cmd in ("L", "\\set_level"):
+            name, val = args[0], float(args[1])
+            if name == "AF":
+                rig.ex.post("set_af_gain", rig.i, val)
+            elif name == "SQL":
+                rig.ex.post("set_squelch", rig.i, val)
+            else:
+                rig.levels[name] = val
+            return "RPRT 0\n"
+        if cmd in ("y", "\\get_ant"):
+            return f"{rig.ant}\n"
+        if cmd in ("Y", "\\set_ant"):
+            rig.ant = int(float(args[0]))
+            return "RPRT 0\n"
         return "RPRT 0\n"
 
 

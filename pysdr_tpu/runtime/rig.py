@@ -85,6 +85,56 @@ class RigConnection:
     def split(self, on: bool):
         self._cmd(f"S {1 if on else 0} VFOB")
 
+    # --- TX-side ops (reference rig_control.py:268-363: power/mic/
+    # monitor sliders, antenna select) via rigctl levels ---
+
+    def _get_level(self, name: str) -> float:
+        r = self._cmd(f"l {name}")
+        try:
+            return float(r[0])
+        except (IndexError, ValueError):
+            return 0.0
+
+    def _set_level(self, name: str, value: float):
+        self._cmd(f"L {name} {value:g}")
+
+    def read_tx_pwr(self) -> float:
+        """TX power as a 0..1 fraction (reference read_tx_pwr)."""
+        return self._get_level("RFPOWER")
+
+    def set_tx_pwr(self, frac: float):
+        self._set_level("RFPOWER", min(max(frac, 0.0), 1.0))
+
+    def read_mic_gain(self) -> float:
+        return self._get_level("MICGAIN")
+
+    def set_mic_gain(self, frac: float):
+        self._set_level("MICGAIN", min(max(frac, 0.0), 1.0))
+
+    def read_monitor_level(self) -> float:
+        return self._get_level("MONITOR_GAIN")
+
+    def set_monitor_level(self, frac: float):
+        self._set_level("MONITOR_GAIN", min(max(frac, 0.0), 1.0))
+
+    def get_ant(self) -> int:
+        r = self._cmd("y")
+        try:
+            return int(float(r[0].split()[-1]))
+        except (IndexError, ValueError):
+            return 0
+
+    def select_ant(self, n: int):
+        """Antenna A/B/... select (reference SelectAnt)."""
+        self._cmd(f"Y {int(n)}")
+
+    def select_band(self, band: str):
+        """Jump to a band's FT8 slot (reference SelectBand sub-band
+        jump, rig_control.py:268-300)."""
+        from pysdr_tpu.runtime.hopper import BANDS_KHZ
+        if band in BANDS_KHZ:
+            self.set_freq(BANDS_KHZ[band]["FT8"] * 1e3)
+
     def close(self):
         if self._sock:
             try:

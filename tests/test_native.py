@@ -77,3 +77,51 @@ def test_native_streamer_loop(tmp_path, rng):
     np.testing.assert_array_equal(a[1000:2000], x)
     np.testing.assert_array_equal(a[2000:], x[:500])
     s.close()
+
+
+def test_app_replay_uses_native_streamer(tmp_path):
+    """The app's --replay path picks the C++ streamer when built and
+    produces the same demodulated audio as the Python reader."""
+    import wave
+    import numpy as np
+    from pysdr_tpu import app as app_mod
+    from pysdr_tpu.io import datfile
+    from pysdr_tpu.runtime import native as native_mod
+
+    if not native_mod.available():
+        import pytest
+        pytest.skip("native lib not built")
+    fs = 512e3
+    n = 1 << 19
+    t = np.arange(n) / fs
+    m = 0.5 * np.sin(2 * np.pi * 400.0 * t)
+    x = ((1 + m) * np.exp(2j * np.pi * 120e3 * t)).astype(np.complex64)
+    path = str(tmp_path / "cap.dat")
+    w = datfile.DatWriter(path, fs=fs, fc=100e6 - 120e3)
+    w.save_data(x)
+    w.close()
+
+    def run(tag, extra):
+        args = app_mod.build_parser().parse_args(
+            ["--replay", path, "--no-loop", "--fc", "100.0",
+             "--block", "4096", "--wav", str(tmp_path / tag)] + extra)
+        a = app_mod.App(args)
+        a.run()
+        return a
+
+    a_native = run("onat", [])
+    a_python = run("opy", ["--no-native"])
+    from pysdr_tpu.runtime.native import NativeStreamer
+    assert isinstance(a_native.source, NativeStreamer)
+    assert not isinstance(a_python.source, NativeStreamer)
+    assert a_native.ex.n_blocks == a_python.ex.n_blocks > 0
+
+    def wav_pcm(prefix):
+        wv = wave.open(prefix + "_rx0.wav")
+        return np.frombuffer(wv.readframes(wv.getnframes()), np.int16)
+
+    pa = wav_pcm(str(tmp_path / "onat"))
+    pb = wav_pcm(str(tmp_path / "opy"))
+    assert len(pa) == len(pb)
+    np.testing.assert_allclose(pa.astype(np.float32),
+                               pb.astype(np.float32), atol=1.0)
