@@ -88,15 +88,18 @@ def bench_bank4(use_pallas=False):
     sps = d.in_block * iters / dt
     res = {"samples_per_s": sps, "in_block": d.in_block, "n_rx": 4}
     if not use_pallas:
-        # HBM-traffic estimate for the roofline: per channel the framed
-        # resampler reads ~L/down x the input plus writes the decimated
-        # baseband; demod runs at the audio rate (negligible traffic).
-        import numpy as np
+        # HBM roofline bounds. Lower bound: the RF block is read once
+        # (8 B/sample packed pair). Upper bound: each channel's framed
+        # resampler materializes ~L/down x the input (in practice XLA
+        # fuses the frame construction into the matmul, so the truth is
+        # near the lower bound — measured rates exceed nominal HBM BW
+        # under the naive model, proving the frames are never
+        # materialized).
         kp = -(-d.video_taps // d.up)
         L = d.down + kp - 1
-        bytes_per_in = 8 * (1 + 4 * (L / d.down))  # input + 4ch frames
-        res["hbm_gbps_est"] = sps * bytes_per_in / 1e9
-        res["hbm_util_est"] = res["hbm_gbps_est"] / HBM_GBPS_NOMINAL
+        res["hbm_gbps_lower"] = sps * 8 / 1e9
+        res["hbm_gbps_upper_naive"] = sps * 8 * (1 + 4 * L / d.down) / 1e9
+        res["hbm_util_lower"] = res["hbm_gbps_lower"] / HBM_GBPS_NOMINAL
     return res
 
 

@@ -72,6 +72,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "params.py:311-315)")
     ap.add_argument("--block", type=int, default=16384,
                     help="audio samples per device block")
+    ap.add_argument("--channelize", type=int, default=None, metavar="N",
+                    help="split the passband into N uniform channels with "
+                         "the polyphase channelizer and demod every one "
+                         "(the 64+-channel generalization of the "
+                         "reference's MAX_RX=6 bank, params.py:33)")
     # -- source (reference -replay / -fake; params.py:51-56) --
     ap.add_argument("--replay", type=str, nargs="+", default=None,
                     metavar=("FILE", "START_SEC"),
@@ -211,6 +216,45 @@ def build_source(args, cfg: cfg_mod.PipelineConfig):
     return src, cfg.fs_in, cfg.sdr_center_hz
 
 
+def build_channelizer(args):
+    """--channelize N: polyphase channelizer bank + a synth (or replay)
+    source. fs_in must be N * (k * fs_out) for a uniform k:1 per-channel
+    decimation; --fc gives the passband center; --mode applies to every
+    channel."""
+    from pysdr_tpu.io import datfile, synth
+    from pysdr_tpu.models.channelizer_bank import (ChannelizerBank,
+                                                   ChannelizerBankConfig,
+                                                   ChannelSettings)
+    n = int(args.channelize)
+    mode = tables.mode_from_name(args.mode)
+    fs_in = args.fs * 1e6
+    fc = args.fc[0] * 1e6
+    cs = ChannelSettings(mode=mode, af_bw_hz=args.af_bw * 1e3,
+                         af_gain=args.af_gain,
+                         agc_enabled=not args.no_agc,
+                         squelch_db=args.squelch,
+                         auto_mute=args.auto_mute,
+                         auto_mute_db=args.auto_mute_db)
+    cfg = ChannelizerBankConfig(
+        fs_in=fs_in, n_channels=n, fs_out=args.fs_out * 1e3,
+        out_block=args.block, fc_hz=fc,
+        channels=tuple(cs for _ in range(n)))
+    bank = ChannelizerBank(cfg)
+    if args.replay:
+        rd = datfile.DatReader(args.replay[0])
+        return bank, rd, cfg
+    # synthetic passband: one AM station on every 4th channel center
+    offs = cfg.center_freqs_hz() - fc
+    kind = {tables.Mode.NFM: "fm", tables.Mode.USB: "usb",
+            tables.Mode.LSB: "lsb", tables.Mode.CW: "cw"}.get(mode, "am")
+    specs = [synth.SignalSpec(offset_hz=offs[i], mode=kind, amplitude=0.5,
+                              audio_hz=300.0 + 50.0 * i)
+             for i in range(0, n, 4)]
+    src = synth.SynthSource(specs, fs_in, noise_rms=args.synth_noise,
+                            fc=fc)
+    return bank, src, cfg
+
+
 # --------------------------------------------------------------------------
 # Application wiring (reference pySDR.py init_sdr + start_threads)
 # --------------------------------------------------------------------------
@@ -223,15 +267,25 @@ class App:
         from pysdr_tpu.runtime.executive import Executive
 
         self.args = args
-        cfg = build_config(args)
-        self.source, fs_src, fc_src = build_source(args, cfg)
-        if args.replay and (fs_src != cfg.fs_in):
-            # rate plan recomputed from the file header (receiver.py:818-820)
-            cfg = __import__("dataclasses").replace(cfg, fs_in=fs_src)
-        self.cfg = cfg
-        emit_bb = args.rtty is not None
-        self.bank = ReceiverBank(cfg, emit_baseband=emit_bb,
-                                 use_pallas=args.pallas)
+        if args.channelize:
+            self.bank, self.source, self.cfg = build_channelizer(args)
+            cfg, fc_src = self.cfg, self.cfg.fc_hz
+            for feat in ("rtty", "hamlib", "rig", "hop"):
+                if getattr(args, feat):
+                    print(f"--{feat} is not available with --channelize; "
+                          "ignoring", file=sys.stderr)
+                    setattr(args, feat, None if feat != "hamlib" else False)
+        else:
+            cfg = build_config(args)
+            self.source, fs_src, fc_src = build_source(args, cfg)
+            if args.replay and (fs_src != cfg.fs_in):
+                # rate plan recomputed from the file header
+                # (receiver.py:818-820)
+                cfg = __import__("dataclasses").replace(cfg, fs_in=fs_src)
+            self.cfg = cfg
+            emit_bb = args.rtty is not None
+            self.bank = ReceiverBank(cfg, emit_baseband=emit_bb,
+                                     use_pallas=args.pallas)
         d = self.bank.design
 
         # recording taps (pySDR.py:117-123)

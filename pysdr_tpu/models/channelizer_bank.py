@@ -115,7 +115,7 @@ class ChannelizerBank:
         n = cfg.n_channels
         plan = cfg.plan
         self.plan = plan
-        self.design = chan_ops.ChannelizerDesign(
+        self.chan_design = chan_ops.ChannelizerDesign(
             fs_in=cfg.fs_in, n_channels=n,
             taps_per_branch=cfg.taps_per_branch)
         self.demod_design = demod_ops.DemodDesign(fs_out=plan.fs_out,
@@ -127,7 +127,7 @@ class ChannelizerBank:
         # host-numpy constants baked into the executable (never device
         # complex eagerly — ops/cplx.py)
         self.branch_weights = chan_ops.pack_branch_weights(
-            self.design.prototype(), n)
+            self.chan_design.prototype(), n)
         self.w_re, self.w_im = chan_ops.dft_matrix(n)
 
         video_taps = plan.up * cfg.video_taps_per_phase
@@ -142,6 +142,7 @@ class ChannelizerBank:
         self.pilot_taps = cplx.pack(self.demod_design.pilot_filter())
 
         self._ch_cfgs = list(cfg.channels)
+        self._last_bb = None          # executive/app tap parity
         self.params = self._build_params()
         packed, self._state_mask = cplx.pack_tree(self.init_state())
         self.state = jax.tree.map(jnp.asarray, packed)
@@ -152,6 +153,21 @@ class ChannelizerBank:
     @property
     def n_ch(self) -> int:
         return self.cfg.n_channels
+
+    # Executive-facing facade: the streaming executive drives any bank
+    # through (design.{fs_in,fs_out,in_block,out_block}, n_rx,
+    # step_device, control methods) — runtime/executive.py.
+    @property
+    def n_rx(self) -> int:
+        return self.cfg.n_channels
+
+    @property
+    def design(self):
+        import types
+        return types.SimpleNamespace(
+            fs_in=self.cfg.fs_in, fs_out=self.plan.fs_out,
+            in_block=self.in_block, out_block=self.out_block,
+            up=self.plan.up, down=self.plan.down)
 
     def _params_for(self, cs: ChannelSettings) -> ChanParams:
         dd = self.demod_design
@@ -181,7 +197,7 @@ class ChannelizerBank:
         dstate = jax.tree.map(
             lambda x: np.broadcast_to(x, (n,) + x.shape).copy(), one)
         return ChanBankState(
-            chan_hist=np.zeros(chan_ops.history_len(self.design),
+            chan_hist=np.zeros(chan_ops.history_len(self.chan_design),
                                np.complex64),
             nco_phase=np.zeros(n, np.int32),
             rs_hist=np.zeros((n, kp1), np.complex64),

@@ -311,21 +311,25 @@ class DisplayEngine:
 
     def __init__(self, bank, rf_cfg: DisplayConfig | None = None,
                  af_cfg: DisplayConfig | None = None, decimate: int = 1,
-                 show_baseband: bool = False):
+                 show_baseband: bool = False, max_af: int = 8):
         d = bank.design
         self.bank = bank
         self.decimate = max(1, decimate)
-        rf_cfg = rf_cfg or DisplayConfig(fs=d.fs_in,
-                                         fc_hz=bank.cfg.receivers[0].fc_hz)
+        rxs = getattr(bank.cfg, "receivers", None)
+        fc0 = rxs[0].fc_hz if rxs else getattr(bank.cfg, "fc_hz", 0.0)
+        rf_cfg = rf_cfg or DisplayConfig(fs=d.fs_in, fc_hz=fc0)
         af_cfg = af_cfg or DisplayConfig(fs=d.fs_out, nfft=512,
                                          pan_dir="up")
         self.rf = ThreeBox(rf_cfg, tag="RF")
+        # cap AF boxes: a 64-channel channelizer doesn't need 64 panes
+        n_af = min(bank.n_rx, max_af)
         self.af = [ThreeBox(dataclasses.replace(af_cfg), tag=f"AF{i}")
-                   for i in range(bank.n_rx)]
+                   for i in range(n_af)]
         self.bb = [ThreeBox(DisplayConfig(fs=d.fs_out,
-                                          fc_hz=bank.cfg.receivers[i].fc_hz),
+                                          fc_hz=rxs[i].fc_hz if rxs
+                                          else fc0),
                             tag=f"BB{i}")
-                   for i in range(bank.n_rx)] if show_baseband else []
+                   for i in range(n_af)] if show_baseband else []
         self.frames: dict[str, DisplayFrame] = {}
         self._n = 0
 

@@ -264,14 +264,14 @@ class ReceiverBank:
         return self._demod(state_p, x_p, bb_p, params)
 
     def _w_sel(self, params):
-        """Per-channel pallas weight selection, memoized on the params
-        object (params are rebuilt on every control-plane change)."""
-        if getattr(self, "_w_sel_cache", None) is None or \
-                self._w_sel_for is not params:
-            rows = np.asarray(params.video_row)
-            import jax.numpy as _jnp
-            self._w_sel_cache = _jnp.asarray(self.video_bank_pallas[rows])
-            self._w_sel_for = params
+        """Per-channel pallas weight selection, memoized on the actual
+        row indices (object identity would go stale if a caller ever
+        rebuilt an identical params tree)."""
+        rows = tuple(int(r) for r in np.asarray(params.video_row))
+        if self._w_sel_for != rows:
+            self._w_sel_cache = jnp.asarray(
+                self.video_bank_pallas[np.asarray(rows)])
+            self._w_sel_for = rows
         return self._w_sel_cache
 
     def step(self, x):

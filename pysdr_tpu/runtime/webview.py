@@ -126,7 +126,13 @@ class WebViewer:
 
     def frame_json(self) -> dict:
         fr = self.display.frames.get("RF")
-        cfg0 = self.ex.bank._rx_cfgs[0]
+        bank = self.ex.bank
+        if hasattr(bank, "_rx_cfgs"):
+            cfg0 = bank._rx_cfgs[0]
+            fc = cfg0.fc_hz
+        else:                       # ChannelizerBank
+            cfg0 = bank._ch_cfgs[0]
+            fc = bank.cfg.fc_hz
         if fr is None:
             return {"ok": False}
         wf = fr.waterfall_u8
@@ -134,7 +140,7 @@ class WebViewer:
         step = max(1, wf.shape[1] // 1024)
         return {
             "ok": True,
-            "fc": cfg0.fc_hz,
+            "fc": fc,
             "mode": tables.MODE_NAMES[cfg0.mode],
             "modes": list(tables.MODE_NAMES.values()),
             "f0": float(fr.freqs_hz[0]),

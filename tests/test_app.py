@@ -129,3 +129,26 @@ def test_app_list_presets(capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "MHz" in out or len(out.splitlines()) > 0
+
+
+def test_app_channelize(tmp_path):
+    """--channelize N: polyphase channelizer through the full app (synth
+    passband -> channelize -> per-channel demod -> wav)."""
+    prefix = str(tmp_path / "chan")
+    a = run_app(["--channelize", "16", "--fs", "0.768", "--block", "2048",
+                 "--blocks", "6", "--fc", "100.0", "--no-agc",
+                 "--wav", prefix])
+    assert a.bank.n_rx == 16
+    w = wave.open(prefix + "_rx4.wav")
+    d = np.frombuffer(w.readframes(w.getnframes()), np.int16).reshape(
+        -1, w.getnchannels())[:, 0].astype(np.float32)
+    seg = d[len(d) // 2:]
+    sp = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+    pk = np.fft.rfftfreq(len(seg), 1.0 / w.getframerate())[
+        5 + np.argmax(sp[5:])]
+    assert abs(pk - 500.0) < 15.0, pk   # station on ch4 carries 500 Hz
+    # idle channel stays quiet
+    w2 = wave.open(prefix + "_rx3.wav")
+    d2 = np.frombuffer(w2.readframes(w2.getnframes()), np.int16)
+    assert np.abs(d2[len(d2) // 2:]).mean() < \
+        0.1 * np.abs(d[len(d) // 2:]).mean()
