@@ -146,23 +146,43 @@ def bench_chan64():
 
 
 def bench_end_to_end():
-    """The product number: host synth source -> device -> host audio pull
+    """The product number: host replay source -> device -> host audio pull
     through the streaming executive (the path VERDICT r1 flagged as never
-    measured)."""
+    measured). Uses a looped .dat via the C++ streamer when built — the
+    Python synth source computes trig per sample and caps at ~2 Msamp/s,
+    which would measure the stimulus generator, not the radio."""
+    import tempfile
+
+    import numpy as np
     from pysdr_tpu import app as app_mod
-    args = app_mod.build_parser().parse_args(
-        ["--fs", "2.048", "--block", "16384", "--fc", "100.0"])
-    a = app_mod.App(args)
-    # warm up / compile one block
-    a.ex.run(n_blocks=1)
-    t0 = time.perf_counter()
-    n_blocks = 30
-    a.ex.run(n_blocks=1 + n_blocks)
-    dt = time.perf_counter() - t0
-    d = a.bank.design
-    return {"samples_per_s": n_blocks * d.in_block / dt,
-            "in_block": d.in_block,
-            "audio_sps_out": n_blocks * d.out_block / dt}
+    from pysdr_tpu.io import datfile
+
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "e2e.dat")
+        fs = 2.048e6
+        n = 1 << 22
+        t = np.arange(n) / fs
+        m = 0.5 * np.sin(2 * np.pi * 400.0 * t)
+        x = (0.5 * (1 + m) * np.exp(2j * np.pi * 120e3 * t)
+             ).astype(np.complex64)
+        w = datfile.DatWriter(path, fs=fs, fc=100e6 - 120e3)
+        w.save_data(x)
+        w.close()
+        args = app_mod.build_parser().parse_args(
+            ["--replay", path, "--fs", "2.048", "--block", "16384",
+             "--fc", "100.0"])
+        a = app_mod.App(args)
+        a.ex.run(n_blocks=1)          # warm up / compile
+        n_blocks = 100
+        t0 = time.perf_counter()
+        a.ex.run(n_blocks=1 + n_blocks)
+        dt = time.perf_counter() - t0
+        d = a.bank.design
+        from pysdr_tpu.runtime.native import NativeStreamer
+        return {"samples_per_s": n_blocks * d.in_block / dt,
+                "in_block": d.in_block,
+                "audio_sps_out": n_blocks * d.out_block / dt,
+                "native_source": isinstance(a.source, NativeStreamer)}
 
 
 def bench_host_source():

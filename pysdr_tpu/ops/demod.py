@@ -93,6 +93,8 @@ class DemodDesign:
     squelch_alpha: float = 0.001    # envelope one-pole (squelch.m:134)
     squelch_hyst: float = 0.5       # close threshold = hyst * open (6 dB)
     mute_hold_s: float = 0.25       # reference MUTE_TIME (params.py:447)
+    fft_af: bool = False            # overlap-save FFT path for the four
+                                    # audio-rate filters (ops/fftfilt.py)
 
     def carrier_filter(self) -> np.ndarray:
         """Narrow one-sided LP around DC for carrier recovery."""
@@ -138,6 +140,15 @@ def init_state(design: DemodDesign) -> DemodState:
     )
 
 
+def _af_fir(x, hist, taps_c, design: DemodDesign):
+    """Audio-rate complex-taps FIR: direct (MXU conv) or overlap-save FFT
+    (ops/fftfilt.py), selected statically by design.fft_af."""
+    if design.fft_af:
+        from pysdr_tpu.ops import fftfilt
+        return fftfilt.fft_fir_block(x, hist, taps_c)
+    return resample.fir_block_cmpx(x, hist, taps_c)
+
+
 def _discriminate(iq, last1):
     """Phase-difference FM detector: fm[n] = angle(x[n] * conj(x[n-1])) in
     rad/sample. The reference's delay-conjugate detector
@@ -170,8 +181,8 @@ def demod_block(iq, state: DemodState, p: DemodParams, design: DemodDesign,
 
     # --- frontends (all computed; elementwise + 2 small FIRs) ---
     env = jnp.abs(iq)                                        # AM
-    carrier, carrier_hist = resample.fir_block_cmpx(
-        iq, state.carrier_hist, carrier_taps)                # AM-synch
+    carrier, carrier_hist = _af_fir(
+        iq, state.carrier_hist, carrier_taps, design)        # AM-synch
     unit = carrier / (jnp.abs(carrier) + 1e-9)
     z_ams = (iq * jnp.conj(unit)).real
     bfo = nco.tone(p.bfo_k, state.bfo_phase, n)              # CW beat
@@ -181,12 +192,12 @@ def demod_block(iq, state: DemodState, p: DemodParams, design: DemodDesign,
     z_fm = fm * p.fm_scale
 
     # WFM stereo: pilot-locked 38 kHz subcarrier demod.
-    pilot, pilot_hist = resample.fir_block_cmpx(
-        fm.astype(jnp.complex64), state.pilot_hist, pilot_taps)
+    pilot, pilot_hist = _af_fir(
+        fm.astype(jnp.complex64), state.pilot_hist, pilot_taps, design)
     punit = pilot / (jnp.abs(pilot) + 1e-9)
     c38 = (punit * punit).real                               # cos(2*pilot_ph)
     lr_raw = (2.0 * fm * c38 * p.fm_scale).astype(jnp.complex64)
-    lr_f, lr_hist = resample.fir_block_cmpx(lr_raw, state.lr_hist, af_taps)
+    lr_f, lr_hist = _af_fir(lr_raw, state.lr_hist, af_taps, design)
     lr = lr_f.real
 
     is_fm_wide = (mode == Mode.WFM) | (mode == Mode.WFM2)
@@ -200,7 +211,7 @@ def demod_block(iq, state: DemodState, p: DemodParams, design: DemodDesign,
                   z_fm.astype(jnp.complex64)))))             # NFM/WFM/WFM2
 
     # --- shared AF filter (complex taps row selects USB/LSB/lowpass) ---
-    y, af_hist = resample.fir_block_cmpx(z, state.af_hist, af_taps)
+    y, af_hist = _af_fir(z, state.af_hist, af_taps, design)
     y = jnp.where(is_iq, z, y)   # IQ passthrough keeps raw baseband
     mono = y.real
 

@@ -152,3 +152,22 @@ def test_app_channelize(tmp_path):
     d2 = np.frombuffer(w2.readframes(w2.getnframes()), np.int16)
     assert np.abs(d2[len(d2) // 2:]).mean() < \
         0.1 * np.abs(d[len(d) // 2:]).mean()
+
+
+def test_probe_tool(tmp_path, capsys):
+    """The device-exploration smoke tool (reference playpen/soapy/simple
+    scripts + check_sdr_settings dump, utils.py:358-422)."""
+    from pysdr_tpu import probe
+    # capture to probe
+    x = (np.exp(2j * np.pi * 0.01 * np.arange(4096))).astype(np.complex64)
+    path = str(tmp_path / "p.dat")
+    w = datfile.DatWriter(path, fs=512e3, fc=7.1e6)
+    w.save_data(x)
+    w.close()
+    rc = probe.main(["--replay", path, "--smoke"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "device[0]" in out
+    assert "fs=0.512000 MHz" in out
+    assert "smoke:" in out and "OK" in out
+    assert probe.main(["--replay", str(tmp_path / "nope.dat")]) == 2
