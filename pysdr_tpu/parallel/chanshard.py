@@ -85,6 +85,96 @@ def shard_inputs(cb: ChannelizerBank, mesh: Mesh, state_specs,
     return state_p, params, w_re, w_im
 
 
+def default_halo(cb: ChannelizerBank, settle_sec: float = 0.2) -> int:
+    """Stream-axis halo in RF samples for the channelizer: covers the
+    branch-filter history, the per-channel resampler history and AF
+    warm-up mapped to the RF rate, plus recurrence settling; rounded to a
+    multiple of N*down so channel/polyphase alignment is preserved."""
+    n = cb.n_ch
+    unit = n * cb.plan.down
+    branch = chan_ops.history_len(cb.chan_design)
+    af_rf = (cb.demod_design.af_taps + cb.demod_design.carrier_taps) \
+        * cb.plan.down * n // cb.plan.up
+    h = max(4 * branch, af_rf, int(settle_sec * cb.cfg.fs_in))
+    return -(-h // unit) * unit
+
+
+def make_channelizer_stream_processor(cb: ChannelizerBank, mesh: Mesh,
+                                      seg: int, halo: int | None = None):
+    """2-D stream x ch sharding of the channelizer: the IQ stream is cut
+    into contiguous segments (one per 'stream' mesh row), each processed
+    with an overlap-discard halo fetched from the left neighbor over
+    `lax.ppermute` (same recipe as parallel/stream.py for the receiver
+    bank); the channel axis shards the DFT columns + demod as in
+    make_channelizer_processor. Fine NCO phases are analytic in the
+    stream position, so no serial state crosses shards.
+
+    Returns (process, halo) with
+      process(x, params, w_re, w_im) -> audio
+    x: float32 (S*seg, 2) packed, sharded P('stream'); audio: float32
+    (n_ch, S*aseg, 2) sharded P('ch', 'stream').
+    """
+    n = cb.n_ch
+    unit = n * cb.plan.down
+    assert seg % unit == 0, (seg, unit)
+    H = default_halo(cb) if halo is None else halo
+    H = min(-(-H // unit) * unit, seg)
+    n_stream = mesh.shape["stream"]
+    aseg = seg * cb.plan.up // (cb.plan.down * n)
+    ahalo = H * cb.plan.up // (cb.plan.down * n)
+    from pysdr_tpu.ops import nco as nco_ops
+    from pysdr_tpu.ops import demod as demod_ops_mod
+    import jax.numpy as jnp
+
+    def shard_fn(x_local, params, w_re_l, w_im_l):
+        tail = x_local[-H:]
+        perm = [(i, i + 1) for i in range(n_stream - 1)]
+        left = jax.lax.ppermute(tail, "stream", perm)
+        xe = cplx.unpack(jnp.concatenate([left, x_local]))   # (H+seg,)
+        s = jax.lax.axis_index("stream")
+        hist0 = jnp.zeros(chan_ops.history_len(cb.chan_design),
+                          jnp.complex64)
+        v, _ = chan_ops.branch_filter(xe, hist0, cb.branch_weights, n)
+        y = chan_ops.channel_transform(v, w_re_l, w_im_l)    # (M, C_loc)
+
+        def one(stream_col, pr):
+            k = pr.nco_k
+            # analytic fine-NCO phase at (s*seg - H)/N channel samples
+            m_seg = seg // n
+            m_h = H // n
+            k_seg = nco_ops.advance(k, 0, m_seg)
+            k_h = nco_ops.advance(k, 0, m_h)
+            p0 = (k_seg * s - k_h) % nco_ops.DENOM
+            z, _ = nco_ops.mix_down(stream_col, k, p0)
+            import jax.numpy as _jnp
+            w = _jnp.asarray(cb.video_bank)[pr.video_row]
+            from pysdr_tpu.ops import resample as rs
+            kp1 = rs.history_len(
+                cb.plan.up * cb.cfg.video_taps_per_phase, cb.plan.up)
+            rh0 = _jnp.zeros(kp1, _jnp.complex64)
+            bb, _ = rs.resample_block(z, rh0, w, up=cb.plan.up,
+                                      down=cb.plan.down)
+            dst = demod_ops_mod.init_state(cb.demod_design)
+            bk = pr.demod.bfo_k
+            bk_seg = nco_ops.advance(bk, 0, aseg)
+            bk_h = nco_ops.advance(bk, 0, ahalo)
+            dst = dst._replace(
+                bfo_phase=(bk_seg * s - bk_h) % nco_ops.DENOM)
+            audio, _ = demod_ops_mod.demod_block(
+                bb, dst, pr.demod, cb.demod_design,
+                cb.carrier_taps, cb.pilot_taps)
+            return cplx.pack(audio[ahalo:])       # drop warm-up
+
+        return jax.vmap(one)(y.T, params)         # (C_loc, aseg, 2)
+
+    param_specs = jax.tree.map(lambda _: P("ch"), cb.params)
+    in_specs = (P("stream"), param_specs, P(None, "ch"), P(None, "ch"))
+    out_specs = P("ch", "stream")
+    proc = jax.jit(jax.shard_map(shard_fn, mesh=mesh, in_specs=in_specs,
+                                 out_specs=out_specs, check_vma=False))
+    return proc, H
+
+
 def run_sharded(cb: ChannelizerBank, x, mesh: Mesh, n_blocks: int = 1,
                 axis: str = "ch"):
     """Convenience: process `n_blocks` consecutive blocks of host complex

@@ -53,3 +53,50 @@ def test_sharded_64ch_over_8_devices():
     act = np.mean(np.abs(a[17, 512:]))
     idle = np.mean(np.abs(a[30, 512:]))
     assert act > 10 * idle
+
+
+def test_stream_by_ch_2d_mesh_matches_serial():
+    """2-D stream x ch channelizer: overlap-discard stream halo + channel
+    sharding together reproduce serial block processing outside the first
+    warm-up region."""
+    from pysdr_tpu.parallel.mesh import make_mesh
+    from pysdr_tpu.ops import cplx
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh(n_stream=2, n_ch=4)
+    cb = _make(8, out_block=512)
+    unit = cb.n_ch * cb.plan.down
+    seg = 65536
+    halo = 24576      # covers AF warm-up + DC-blocker settling (~5 tau)
+    assert seg % unit == 0 and halo % unit == 0
+    n_need = 2 * seg // cb.in_block
+    x = _synth(cb, n_need, chans=(1, 5))[: 2 * seg]
+
+    proc, halo = chanshard.make_channelizer_stream_processor(
+        cb, mesh, seg, halo=halo)
+    _, specs = chanshard.make_channelizer_processor(cb, mesh)
+    _, params, w_re, w_im = chanshard.shard_inputs(cb, mesh, specs)
+    xp = jax.device_put(cplx.pack(x), NamedSharding(mesh, P("stream")))
+    audio = np.asarray(proc(xp, params, w_re, w_im))
+    a2d = audio[..., 0] + 1j * audio[..., 1]        # (8, 2*aseg)
+
+    cb2 = _make(8, out_block=512)
+    a_serial = np.concatenate(
+        [cb2.step(b) for b in np.split(x, 2 * seg // cb2.in_block)],
+        axis=-1)
+    aseg = seg * cb.plan.up // (cb.plan.down * cb.n_ch)
+    ahalo = halo * cb.plan.up // (cb.plan.down * cb.n_ch)
+    # compare the second shard's segment (fully warmed by its halo) and
+    # the tail of the first (past its zero-state warm-up)
+    for c in (1, 5):
+        ref = a_serial[c]
+        got = a2d[c]
+        skip = ahalo + 512
+        seg1 = slice(skip, aseg)
+        err1 = np.abs(got[seg1] - ref[seg1]).max()
+        seg2 = slice(aseg + 16, 2 * aseg)
+        err2 = np.abs(got[seg2] - ref[seg2]).max()
+        scale = np.abs(ref).max() + 1e-9
+        assert err1 / scale < 0.05, (c, err1 / scale)
+        assert err2 / scale < 0.05, (c, err2 / scale)
