@@ -215,41 +215,31 @@ def demod_block(iq, state: DemodState, p: DemodParams, design: DemodDesign,
     y = jnp.where(is_iq, z, y)   # IQ passthrough keeps raw baseband
     mono = y.real
 
-    # --- WFM de-emphasis + stereo matrix ---
-    alpha = jnp.float32(design.deemph_alpha())
+    # --- fused recurrences, pass 1 (ONE 4-column associative scan):
+    # de-emphasis L/R one-poles + the two squelch power envelopes
+    # (reference sigs/squelch.m:100-137: in-band vs out-of-band POWER,
+    # alpha=0.001; in-band = post-AF-filter audio, out-of-band = total
+    # minus in-band — power envelopes are slow next to the AF filter's
+    # group delay, so no sample alignment is needed).
+    alpha_de = jnp.float32(design.deemph_alpha())
+    alpha_sq = jnp.float32(design.squelch_alpha)
     left_in = jnp.where(mode == Mode.WFM2, mono + lr, mono)
     right_in = jnp.where(mode == Mode.WFM2, mono - lr, mono)
-    l_de, de_l = scanops.one_pole(left_in, alpha, state.deemph[0])
-    r_de, de_r = scanops.one_pole(right_in, alpha, state.deemph[1])
-    deemph = jnp.stack([de_l, de_r])
+    colsA = jnp.stack([left_in, right_in,
+                       jnp.abs(y).astype(jnp.float32) ** 2,
+                       jnp.abs(z).astype(jnp.float32) ** 2], axis=1)
+    prevA = jnp.stack([state.deemph[0], state.deemph[1],
+                       state.sq_env[0], state.sq_env[1]])
+    alphasA = jnp.stack([alpha_de, alpha_de, alpha_sq, alpha_sq])
+    scanA, lastA = scanops.one_pole(colsA, alphasA, prevA)
     use_de = is_fm_wide
-    left = jnp.where(use_de, l_de, left_in)
-    right = jnp.where(use_de, r_de, right_in)
-    deemph = jnp.where(use_de, deemph, state.deemph)
+    left = jnp.where(use_de, scanA[:, 0], left_in)
+    right = jnp.where(use_de, scanA[:, 1], right_in)
+    deemph = jnp.where(use_de, lastA[:2], state.deemph)
+    env_in, env_tot = scanA[:, 2], scanA[:, 3]
+    env_in_last, env_out_last = lastA[2], lastA[3]
 
-    # --- DC removal for AM/USB-family audio (reference receiver.py:250-252)
-    dc_on = (mode == Mode.AM) | (mode == Mode.AM_SYNC) | is_ssb | \
-            (mode == Mode.CW)
-    l_dc, (dcx, dcy) = scanops.dc_block(
-        left, jnp.float32(design.dc_pole), (state.dc[0], state.dc[1]))
-    left = jnp.where(dc_on, l_dc, left)
-    dc = jnp.where(dc_on, jnp.stack([dcx, dcy]), state.dc)
-
-    audio = jax.lax.complex(left, jnp.where(mode == Mode.WFM2, right,
-                                            jnp.where(is_iq, y.imag, 0.0)))
-
-    # --- squelch (reference sigs/squelch.m:100-137): in-band vs
-    # out-of-band POWER envelopes, each a one-pole with alpha=0.001,
-    # gated through a hysteresis comparator (open above T, close below
-    # hyst*T) so the gate doesn't chatter at the threshold. In-band = the
-    # post-AF-filter audio; out-of-band = total minus in-band (squelch.m's
-    # elliptic LP z1 vs HP z2 split — power envelopes are slow next to the
-    # AF filter's group delay, so no sample alignment is needed).
-    alpha_sq = jnp.float32(design.squelch_alpha)
-    env_in, env_in_last = scanops.one_pole(
-        jnp.abs(y).astype(jnp.float32) ** 2, alpha_sq, state.sq_env[0])
-    env_tot, env_out_last = scanops.one_pole(
-        jnp.abs(z).astype(jnp.float32) ** 2, alpha_sq, state.sq_env[1])
+    # --- squelch hysteresis gate: open above T, close below hyst*T ---
     ratio = env_in / jnp.maximum(env_tot - env_in, 1e-9)
     open_ = ratio > p.squelch_lin
     close = ratio < design.squelch_hyst * p.squelch_lin
@@ -257,11 +247,29 @@ def demod_block(iq, state: DemodState, p: DemodParams, design: DemodDesign,
     sq_off = p.squelch_lin <= 0.0
     gate = jnp.where(sq_off, 1.0, gate)
     gate_last = jnp.where(sq_off, 1.0, gate_last)
-    # ~1 ms smoothing so the gate opens/closes without clicks
+
+    # --- fused recurrences, pass 2 (ONE 2-column scan): ~1 ms click
+    # smoothing of the gate + the DC blocker
+    # y[n] = x[n]-x[n-1] + r*y[n-1] for AM/USB-family audio
+    # (reference receiver.py:250-252)
     alpha_click = jnp.float32(min(1.0, 1000.0 / design.fs_out))
-    g_sm, g_sm_last = scanops.one_pole(gate, alpha_click, state.sq_env[2])
+    r_dc = jnp.float32(design.dc_pole)
+    lm1 = jnp.concatenate([state.dc[0][None], left[:-1]])
+    colsB_a = jnp.stack([jnp.full(n, 1.0 - alpha_click, jnp.float32),
+                         jnp.full(n, r_dc, jnp.float32)], axis=1)
+    colsB_b = jnp.stack([alpha_click * gate, left - lm1], axis=1)
+    prevB = jnp.stack([state.sq_env[2], state.dc[1]])
+    scanB, lastB = scanops.linrec(colsB_a, colsB_b, prevB)
+    g_sm, l_dc = scanB[:, 0], scanB[:, 1]
+    dc_on = (mode == Mode.AM) | (mode == Mode.AM_SYNC) | is_ssb | \
+            (mode == Mode.CW)
+    dc = jnp.where(dc_on, jnp.stack([left[-1], lastB[1]]), state.dc)
+    left = jnp.where(dc_on, l_dc, left)
+
+    audio = jax.lax.complex(left, jnp.where(mode == Mode.WFM2, right,
+                                            jnp.where(is_iq, y.imag, 0.0)))
     audio = audio * g_sm
-    sq_env = jnp.stack([env_in_last, env_out_last, g_sm_last])
+    sq_env = jnp.stack([env_in_last, env_out_last, lastB[0]])
 
     # --- AGC + gain ---
     audio, agc_env, _ = agc_ops.agc_block(audio, state.agc_env, design.agc,

@@ -23,8 +23,10 @@ import jax.numpy as jnp
 def linrec(a, b, y_prev):
     """Evaluate y[n] = a[n]*y[n-1] + b[n] for a block; y[-1] = y_prev.
 
-    a, b: float32 (n,) (a may be scalar broadcast by caller as full array);
-    returns (y (n,), y_last scalar).
+    a, b: float32 (n,) or (n, k) — k independent columns ride ONE scan
+    (the scan is over axis 0; fusing same-form recurrences into columns
+    shrinks both compile time and launch count). y_prev: scalar or (k,).
+    Returns (y, y_last).
     """
     def combine(c1, c2):
         a1, b1 = c1
@@ -38,9 +40,10 @@ def linrec(a, b, y_prev):
 
 def one_pole(x, alpha, y_prev):
     """One-pole lowpass y[n] = alpha*x[n] + (1-alpha)*y[n-1] (reference
-    agc.m beta=0.1, squelch.m alpha=0.001). Returns (y, y_last)."""
-    n = x.shape[0]
-    a = jnp.full((n,), 1.0 - alpha, x.dtype)
+    agc.m beta=0.1, squelch.m alpha=0.001). x: (n,) or (n, k) columns;
+    alpha: scalar or (k,) per-column. Returns (y, y_last)."""
+    alpha = jnp.asarray(alpha, x.dtype)
+    a = jnp.broadcast_to(1.0 - alpha, x.shape)
     return linrec(a, alpha * x, y_prev)
 
 
