@@ -104,6 +104,14 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--save-dir", type=str, default=".")
     ap.add_argument("--wav", type=str, default=None, metavar="PREFIX",
                     help="write per-RX audio to PREFIX_rxN.wav")
+    ap.add_argument("--stereo", action="store_true",
+                    help="pack RX pairs into one stereo player each "
+                         "(RX i in L, RX i+1 in R — the reference's "
+                         "scheme-2 routing, receiver.py:158-189)")
+    ap.add_argument("--aux-wav", type=str, default=None, metavar="PATH",
+                    help="aux speaker path: RX0 audio through the "
+                         "800-1300 Hz speech bandpass to its own wav "
+                         "(reference receiver.py:214-221)")
     # -- control plane (reference pySDR.py:139-156; udp.py; hopper.py) --
     ap.add_argument("--hamlib", action="store_true",
                     help="start one hamlib TCP server per RX (ports "
@@ -322,10 +330,20 @@ class App:
             psd_callback=self._on_block, loop_source=not args.no_loop)
 
         # audio sinks: wav files or null (no sound card on a TPU host)
-        from pysdr_tpu.runtime.audio import create_players
+        from pysdr_tpu.runtime.audio import (WavSink, aux_bandpass_taps,
+                                             create_players)
         self.players = create_players(
             self.bank, self.ex.audio_rings, d.fs_out,
-            wav_prefix=args.wav, realtime=args.realtime)
+            wav_prefix=args.wav, stereo_pairs=args.stereo,
+            realtime=args.realtime)
+
+        # aux speaker path: RX0 audio -> 800-1300 Hz BPF -> own sink
+        # (reference receiver.py:214-221); streaming FIR with tail carry
+        self.aux_sink = None
+        if args.aux_wav:
+            self.aux_sink = WavSink(args.aux_wav, d.fs_out, stereo=False)
+            self._aux_taps = aux_bandpass_taps(d.fs_out)
+            self._aux_tail = np.zeros(len(self._aux_taps) - 1, np.float32)
 
         # watchdogs on every audio ring (watchdog.py:165-201)
         from pysdr_tpu.runtime.watchdog import WatchDog
@@ -385,6 +403,12 @@ class App:
     def _on_block(self, ex, audio):
         if self.memmon is not None and ex.n_blocks % 32 == 0:
             self.memmon.take_snapshot()
+        if self.aux_sink is not None:
+            x = np.concatenate([self._aux_tail,
+                                audio[0].real.astype(np.float32)])
+            self._aux_tail = x[-(len(self._aux_taps) - 1):]
+            self.aux_sink.write(np.convolve(
+                x, self._aux_taps, "valid").astype(np.float32))
         if self.display is not None:
             self.display(ex, audio)
             if ex.last_rf_block is not None \
@@ -450,6 +474,8 @@ class App:
         for wr in (self.raw_writer, self.demod_writer):
             if wr is not None:
                 wr.close()
+        if self.aux_sink is not None:
+            self.aux_sink.close()
         if self.args.png_dir and self.display is not None:
             import os
             os.makedirs(self.args.png_dir, exist_ok=True)

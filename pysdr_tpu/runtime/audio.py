@@ -48,9 +48,10 @@ def pack_stereo(am1: np.ndarray, am2: np.ndarray, g1: float = 1.0,
     return (g1 * am1.real + 1j * (g2 * am2.real)).astype(np.complex64)
 
 
-def aux_bandpass_taps(fs: float, ntaps: int = 129) -> np.ndarray:
+def aux_bandpass_taps(fs: float, ntaps: int = 257) -> np.ndarray:
     """800-1300 Hz speech-peak bandpass for the aux speaker path
-    (reference receiver.py:214-221)."""
+    (reference receiver.py:214-221). 257 taps @ 48 kHz puts the 400 Hz
+    stopband below -60 dB (129 leaves it at only -18 dB)."""
     return np.asarray(fir.bandpass(800.0, 1300.0, fs, ntaps), np.float32)
 
 
@@ -191,20 +192,51 @@ class AudioPlayer:
         self.active = False
 
 
+class StereoPairRing:
+    """Read-side adapter packing two mono RX rings into one stereo stream
+    L+jR at pull time (the reference's scheme-2 two-RXs-per-player
+    routing `am1*g1 + 1j*am2*g2`, receiver.py:158-189). Presents the
+    consumer subset of the RingBuffer API so AudioPlayer's pacing and
+    underrun logic work unchanged."""
+
+    def __init__(self, left: RingBuffer, right: RingBuffer,
+                 g1: float = 1.0, g2: float = 1.0):
+        self.left, self.right = left, right
+        self.g1, self.g2 = g1, g2
+        self.tag = f"{left.tag}+{right.tag}"
+
+    @property
+    def nsamps(self) -> int:
+        return min(self.left.nsamps, self.right.nsamps)
+
+    @property
+    def size(self) -> int:
+        return min(self.left.size, self.right.size)
+
+    def ready(self, n: int) -> bool:
+        return self.left.ready(n) and self.right.ready(n)
+
+    def pull(self, n: int) -> np.ndarray:
+        return pack_stereo(self.left.pull(n), self.right.pull(n),
+                           self.g1, self.g2)
+
+
 def create_players(bank, rings, fs: float, wav_prefix: str | None = None,
                    stereo_pairs: bool = False, realtime: bool = True):
     """Build one player per RX — or one per RX *pair* packed into stereo
     (the reference's scheme-2 two-RXs-per-player routing,
     receiver.py:158-189 via create_Audio_Players receiver.py:837-874).
-
-    When stereo_pairs is set, even/odd ring pairs must be pre-packed by
-    the caller with pack_stereo.
+    With stereo_pairs, even/odd rings feed one player through a
+    StereoPairRing (RX i in L, RX i+1 in R); a trailing odd RX stays mono.
     """
     players = []
     step = 2 if stereo_pairs else 1
     for i in range(0, len(rings), step):
+        ring = rings[i]
+        if stereo_pairs and i + 1 < len(rings):
+            ring = StereoPairRing(rings[i], rings[i + 1])
         sink = WavSink(f"{wav_prefix}_rx{i}.wav", fs) if wav_prefix \
             else NullSink()
-        players.append(AudioPlayer(rings[i], fs, sink=sink,
+        players.append(AudioPlayer(ring, fs, sink=sink,
                                    realtime=realtime, tag=f"play{i}"))
     return players

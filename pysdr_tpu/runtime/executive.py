@@ -105,21 +105,12 @@ class Executive:
             self.last_rf_block = x.astype(np.complex64)
             return jnp.asarray(cplx.pack(self.last_rf_block))
 
-        nxt = read_block()
-        while not self._stop.is_set():
-            if nxt is None:
-                break
-            if n_blocks is not None and self.n_blocks >= n_blocks:
-                break
-            if deadline and time.monotonic() > deadline:
-                break
-            self._apply_pending()
-            with self.profiler:
-                t_start = time.monotonic()
-                audio_p = self.bank.step_device(nxt)   # async dispatch
-                nxt = read_block()                     # overlap host read
-                audio = cplx.unpack(np.asarray(audio_p).reshape(
-                    self.bank.n_rx, d.out_block, 2))   # sync point
+        def finish(audio_p, t_start):
+            # sync point: device -> host pull of an ALREADY-dispatched
+            # block; with the one-block pipeline below the compute had a
+            # whole iteration to complete, so this pays transfer only
+            audio = cplx.unpack(np.asarray(audio_p).reshape(
+                self.bank.n_rx, d.out_block, 2))
             for i, ring in enumerate(self.audio_rings):
                 ring.push(audio[i])
             if self.demod_writer is not None:
@@ -131,6 +122,33 @@ class Executive:
                 elapsed = time.monotonic() - t_start
                 if elapsed < block_budget:
                     time.sleep(block_budget - elapsed)
+
+        # one-block software pipeline: while the device computes block k,
+        # the host reads block k+1 AND drains block k-1 to the sinks (the
+        # reference's thread/ring-buffer decoupling, SURVEY §2.10 row 2,
+        # without threads — JAX async dispatch is the second stage)
+        nxt = read_block()
+        pending = None       # (device_buffer, t_start) in flight
+        while not self._stop.is_set():
+            if nxt is None:
+                break
+            # n_blocks is cumulative across run() calls (self.n_blocks
+            # counts completed blocks; one more may be in flight)
+            if n_blocks is not None and \
+                    self.n_blocks + (pending is not None) >= n_blocks:
+                break
+            if deadline and time.monotonic() > deadline:
+                break
+            self._apply_pending()
+            with self.profiler:
+                t_start = time.monotonic()
+                audio_p = self.bank.step_device(nxt)   # async dispatch
+                nxt = read_block()                     # overlap host read
+                if pending is not None:
+                    finish(*pending)                   # drain block k-1
+            pending = (audio_p, t_start)
+        if pending is not None:
+            finish(*pending)
         return self.profiler
 
     def stop(self):

@@ -49,6 +49,68 @@ def test_app_synth_to_wav(tmp_path):
     assert abs(pk - 400.0) < 10.0, pk
 
 
+def _wav_channels(path):
+    w = wave.open(path)
+    d = np.frombuffer(w.readframes(w.getnframes()), np.int16).reshape(
+        -1, w.getnchannels()).astype(np.float32)
+    return d, w.getframerate()
+
+
+def _peak_hz(x, fs):
+    sp = np.abs(np.fft.rfft(x * np.hanning(len(x))))
+    return np.fft.rfftfreq(len(x), 1.0 / fs)[5 + np.argmax(sp[5:])]
+
+
+def test_app_stereo_pairs(tmp_path):
+    """--stereo: RX pairs packed into one player, RX0 in L / RX1 in R
+    (reference scheme-2 routing, receiver.py:158-189). RX0 carries
+    400 Hz, RX1 carries 800 Hz."""
+    prefix = str(tmp_path / "st")
+    # --video-bw 8 keeps each channel to +-8 kHz so the neighbor station
+    # 20 kHz away stays out of the envelope detector (with the default
+    # Max video filter both stations share the +-24 kHz decimated band
+    # and AM envelopes mix, which is physics, not a routing bug)
+    a = run_app(["--fs", "0.512", "--block", "4096", "--blocks", "8",
+                 "--fc", "0.6", "0.62", "--video-bw", "8",
+                 "--stereo", "--wav", prefix])
+    assert len(a.players) == 1
+    d, fr = _wav_channels(prefix + "_rx0.wav")
+    assert d.shape[1] == 2
+    seg = d[len(d) // 2:]
+    assert abs(_peak_hz(seg[:, 0], fr) - 400.0) < 10.0
+    assert abs(_peak_hz(seg[:, 1], fr) - 800.0) < 10.0
+    # channel separation: each tone must dominate its own side
+    for ch, f_own, f_other in ((0, 400.0, 800.0), (1, 800.0, 400.0)):
+        sp = np.abs(np.fft.rfft(seg[:, ch] * np.hanning(len(seg))))
+        frq = np.fft.rfftfreq(len(seg), 1.0 / fr)
+        own = sp[np.argmin(np.abs(frq - f_own))]
+        other = sp[np.argmin(np.abs(frq - f_other))]
+        assert own > 100.0 * other
+
+
+def test_app_aux_path(tmp_path):
+    """--aux-wav: RX0 audio through the 800-1300 Hz speech BPF
+    (reference receiver.py:214-221). The default 400 Hz synth tone sits
+    in the stopband, so the aux output must be strongly attenuated
+    relative to the main wav; the filter itself must pass 1 kHz."""
+    from pysdr_tpu.runtime.audio import aux_bandpass_taps
+    prefix = str(tmp_path / "m")
+    aux = str(tmp_path / "aux.wav")
+    run_app(["--fs", "0.512", "--block", "4096", "--blocks", "8",
+             "--wav", prefix, "--aux-wav", aux])
+    main, fr = _wav_channels(prefix + "_rx0.wav")
+    auxd, fr2 = _wav_channels(aux)
+    assert fr2 == fr and auxd.shape[1] == 1
+    m = main[len(main) // 2:, 0]
+    x = auxd[len(auxd) // 2:, 0]
+    assert np.sqrt(np.mean(x**2)) < 0.15 * np.sqrt(np.mean(m**2))
+    # passband sanity: |H(1 kHz)| ~ 1, |H(400 Hz)| small
+    taps = aux_bandpass_taps(fr)
+    w = np.exp(-2j * np.pi * np.arange(len(taps)) / fr)
+    h = lambda f: abs(np.sum(taps * w**f))  # noqa: E731
+    assert h(1000.0) > 0.7 and h(400.0) < 0.05
+
+
 def test_app_replay_roundtrip(tmp_path):
     """--save-iq record then --replay of the same capture demodulates
     the same station (reference record/replay oracle, SURVEY §4.1)."""
