@@ -96,6 +96,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="stop after N seconds of stream time")
     ap.add_argument("--realtime", action="store_true",
                     help="pace to the sample clock (default: free-run)")
+    ap.add_argument("--wire", choices=["f32", "i16", "i8"], default="f32",
+                    help="host->device RF block format: raw CS16/CS8 "
+                         "sample pairs ship 2x/4x fewer bytes and are "
+                         "dequantized on device (i16 is lossless for any "
+                         "real SDR front-end; f32 = exact replay)")
     # -- recording taps (reference -save_iq/-save_demod; params.py:136-141)
     ap.add_argument("--save-iq", action="store_true",
                     help="record raw RF IQ to a timestamped .dat")
@@ -327,7 +332,8 @@ class App:
         self.ex = Executive(
             self.bank, self.source, realtime=args.realtime,
             raw_writer=self.raw_writer, demod_writer=self.demod_writer,
-            psd_callback=self._on_block, loop_source=not args.no_loop)
+            psd_callback=self._on_block, loop_source=not args.no_loop,
+            wire=args.wire)
 
         # audio sinks: wav files or null (no sound card on a TPU host)
         from pysdr_tpu.runtime.audio import (WavSink, aux_bandpass_taps,
@@ -345,11 +351,22 @@ class App:
             self._aux_taps = aux_bandpass_taps(d.fs_out)
             self._aux_tail = np.zeros(len(self._aux_taps) - 1, np.float32)
 
-        # watchdogs on every audio ring (watchdog.py:165-201)
-        from pysdr_tpu.runtime.watchdog import WatchDog
-        self.watchdogs = [WatchDog(r, d.fs_out)
-                          for r in self.ex.audio_rings] \
-            if args.realtime else []
+        # watchdogs on every audio ring (watchdog.py:165-201); with
+        # --stereo, L/R pairs are recentred atomically so a drop/zero-fill
+        # never skews their sample alignment (PairWatchDog)
+        from pysdr_tpu.runtime.watchdog import PairWatchDog, WatchDog
+        self.watchdogs = []
+        if args.realtime:
+            rings = self.ex.audio_rings
+            if args.stereo:
+                for i in range(0, len(rings), 2):
+                    if i + 1 < len(rings):
+                        self.watchdogs.append(
+                            PairWatchDog(rings[i:i + 2], d.fs_out))
+                    else:
+                        self.watchdogs.append(WatchDog(rings[i], d.fs_out))
+            else:
+                self.watchdogs = [WatchDog(r, d.fs_out) for r in rings]
 
         # control plane
         self.hamlib_servers = []
@@ -492,6 +509,9 @@ class App:
             self.stop_services()
         if self.args.profile:
             print(prof.report())
+            s = self.ex.stage_report()
+            print("per-stage ms/block: " + "  ".join(
+                f"{k}={v:.1f}" for k, v in s.items()))
         return 0
 
 

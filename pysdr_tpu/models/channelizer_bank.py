@@ -220,7 +220,7 @@ class ChannelizerBank:
 
     def _step_impl(self, state_p, x_p, params):
         state = cplx.unpack_tree(state_p, self._state_mask)
-        x = cplx.unpack(x_p)
+        x = cplx.unpack(cplx.dequantize(x_p))
         n = self.n_ch
         v, chan_hist = chan_ops.branch_filter(
             x, state.chan_hist, self.branch_weights, n)

@@ -207,9 +207,10 @@ class ReceiverBank:
     # ---------- functional core ----------
 
     def _step_impl(self, state_p, x_p, params):
-        """Packed-boundary step: state_p/x_p/audio are float32 re-im
-        pairs; complex64 exists only inside this jit."""
-        x = cplx.unpack(x_p)
+        """Packed-boundary step: state_p/audio are float32 re-im pairs;
+        x_p is float32 OR an int8/int16 wire block (cplx.dequantize);
+        complex64 exists only inside this jit."""
+        x = cplx.unpack(cplx.dequantize(x_p))
         state = cplx.unpack_tree(state_p, self._state_mask)
         d = self.design
         kp1 = state.hist.shape[0]
@@ -237,7 +238,7 @@ class ReceiverBank:
         state = cplx.unpack_tree(state_p, self._state_mask)
         d = self.design
         kp1 = state.hist.shape[0]
-        x = cplx.unpack(x_p)
+        x = cplx.unpack(cplx.dequantize(x_p))
         bb = cplx.unpack(bb_p)
         phase = nco.advance(params.nco_k, state.ch.nco_phase, x.shape[0])
 

@@ -56,6 +56,36 @@ def unpack_tree(packed, mask):
     return jax.tree.map(lambda p, m: unpack(p) if m else p, packed, mask)
 
 
+# -- wire formats: RF blocks may cross the host->device boundary as raw
+# int8/int16 sample pairs (CS8/CS16, what real SDR ADCs produce — RTL is
+# 8-bit, SDRplay 14-bit, SURVEY §2.8) at 1/4 / 1/2 the bytes of float32
+# pairs; dequantization happens ON DEVICE inside the step jit so the
+# transfer ships the small ints.
+
+WIRE_SCALES = {"i8": 127.0, "i16": 32767.0}
+WIRE_DTYPES = {"i8": np.int8, "i16": np.int16, "f32": np.float32}
+
+
+def dequantize(x_p):
+    """Traced: int8/int16 (..., 2) wire block -> float32; f32 passthrough.
+    The dtype is a trace-time property, so this costs nothing for f32 and
+    one fused elementwise convert for the int formats."""
+    if x_p.dtype == jnp.int8:
+        return x_p.astype(jnp.float32) * jnp.float32(1.0 / 127.0)
+    if x_p.dtype == jnp.int16:
+        return x_p.astype(jnp.float32) * jnp.float32(1.0 / 32767.0)
+    return x_p
+
+
+def quantize_host(xp: np.ndarray, wire: str) -> np.ndarray:
+    """Host: float32 (..., 2) packed pairs -> wire dtype. Full scale is
+    |x| = 1.0 (ADC convention); values beyond clip like an ADC would."""
+    if wire == "f32":
+        return xp
+    s = WIRE_SCALES[wire]
+    return np.clip(np.rint(xp * s), -s, s).astype(WIRE_DTYPES[wire])
+
+
 def to_host(z_dev_packed) -> np.ndarray:
     """Device packed pair -> host numpy complex64 (the only legal way to
     read complex results off this TPU)."""

@@ -34,17 +34,24 @@ from pysdr_tpu.runtime.ringbuffer import RingBuffer
 class Executive:
     def __init__(self, bank, source, audio_rings=None, realtime=False,
                  raw_writer=None, demod_writer=None,
-                 psd_callback: Callable | None = None, loop_source=True):
+                 psd_callback: Callable | None = None, loop_source=True,
+                 wire: str = "f32"):
         """bank: models.receiver.ReceiverBank; source: DatReader/SynthSource
         (anything with read_data(n)); audio_rings: list of RingBuffer per
         channel (created if None); raw/demod_writer: io.datfile.DatWriter
-        taps (reference -save_iq/-save_demod, params.py:136-141)."""
+        taps (reference -save_iq/-save_demod, params.py:136-141);
+        wire: "f32" | "i16" | "i8" — RF blocks cross the host->device link
+        as raw CS16/CS8 sample pairs at 1/2 / 1/4 the bytes, dequantized
+        on device inside the step jit (cplx.dequantize). i16 is lossless
+        for any real SDR front-end (14-bit SDRplay, 8-bit RTL)."""
         import jax.numpy as jnp
         self._jnp = jnp
         self.bank = bank
         self.source = source
         self.realtime = realtime
         self.loop_source = loop_source
+        assert wire in ("f32", "i16", "i8"), wire
+        self.wire = wire
         d = bank.design
         ring_size = 32 * 1024 * max(1, int(d.fs_out / 48e3))  # params.py:456
         self.audio_rings = audio_rings or [
@@ -58,6 +65,17 @@ class Executive:
         self._stop = threading.Event()
         self.n_blocks = 0
         self.last_rf_block: np.ndarray | None = None
+        # per-stage accounting (ms totals; report with stage_report()):
+        # read = host source + quantize, upload = host->device issue,
+        # dispatch = device step issue, drain = result pull + sinks
+        self.stage_ms = {"read": 0.0, "upload": 0.0, "dispatch": 0.0,
+                         "drain": 0.0}
+
+    def stage_report(self) -> dict:
+        """Mean ms/block per pipeline stage (the per-stage breakdown the
+        end-to-end bench publishes)."""
+        n = max(1, self.n_blocks)
+        return {k: v / n for k, v in self.stage_ms.items()}
 
     # ---- control plane: thread-safe, applied at block boundaries ----
     # (the service_commands RPC surface, reference receiver.py:301-399)
@@ -81,7 +99,8 @@ class Executive:
         deadline = time.monotonic() + duration_s if duration_s else None
         block_budget = d.in_block / d.fs_in
 
-        def read_block():
+        def read_host():
+            """Host half of the source stage: packed float32 (n, 2)."""
             # fast path: sources that yield float32 (n, 2) packed pairs
             # directly (the C++ NativeStreamer) skip all host complex math
             if hasattr(self.source, "read_packed"):
@@ -92,7 +111,7 @@ class Executive:
                 if self.raw_writer is not None:
                     self.raw_writer.save_data(x)
                 self.last_rf_block = x
-                return jnp.asarray(xp)
+                return xp
             x = self.source.read_data(d.in_block, loop=self.loop_source) \
                 if self.loop_source else self.source.read_data(d.in_block)
             x = np.asarray(x).reshape(-1)[:d.in_block]
@@ -103,14 +122,39 @@ class Executive:
             # RF tap for PSD/display consumers (reference rb_rf push,
             # receiver.py:747-756)
             self.last_rf_block = x.astype(np.complex64)
-            return jnp.asarray(cplx.pack(self.last_rf_block))
+            return cplx.pack(self.last_rf_block)
 
-        def finish(audio_p, t_start):
+        def read_block():
+            t0 = time.perf_counter()
+            xp = read_host()
+            t1 = time.perf_counter()
+            self.stage_ms["read"] += (t1 - t0) * 1e3
+            if xp is None:
+                return None
+            # wire quantization + host->device issue (async under JAX;
+            # completion overlaps the previous block's compute)
+            xb = jnp.asarray(cplx.quantize_host(xp, self.wire))
+            self.stage_ms["upload"] += (time.perf_counter() - t1) * 1e3
+            return xb
+
+        # realtime pacing: an ABSOLUTE schedule (next_deadline advances by
+        # exactly one budget per completed block), not per-block elapsed —
+        # with the software pipeline below, block k's sleep runs an
+        # iteration after its t_start, so an elapsed-based sleep would
+        # double-count the previous block's sleep and run the source at
+        # ~2x real time (ADVICE r2 #1). Debt is clamped to one budget so a
+        # slow start doesn't trigger a long full-speed catch-up burst.
+        next_deadline = None
+
+        def finish(audio_p):
+            nonlocal next_deadline
             # sync point: device -> host pull of an ALREADY-dispatched
             # block; with the one-block pipeline below the compute had a
             # whole iteration to complete, so this pays transfer only
+            t0 = time.perf_counter()
             audio = cplx.unpack(np.asarray(audio_p).reshape(
                 self.bank.n_rx, d.out_block, 2))
+            self.stage_ms["drain"] += (time.perf_counter() - t0) * 1e3
             for i, ring in enumerate(self.audio_rings):
                 ring.push(audio[i])
             if self.demod_writer is not None:
@@ -119,16 +163,25 @@ class Executive:
                 self.psd_callback(self, audio)
             self.n_blocks += 1
             if self.realtime:
-                elapsed = time.monotonic() - t_start
-                if elapsed < block_budget:
-                    time.sleep(block_budget - elapsed)
+                now = time.monotonic()
+                if next_deadline is None:
+                    next_deadline = now
+                next_deadline += block_budget
+                if now < next_deadline:
+                    time.sleep(next_deadline - now)
+                    # pacing sleep is idle time, not compute: keep it out
+                    # of the profiled block so realtime_factor reports
+                    # actual headroom (ADVICE r2 #3)
+                    self.profiler.discount(next_deadline - now)
+                else:
+                    next_deadline = max(next_deadline, now - block_budget)
 
         # one-block software pipeline: while the device computes block k,
         # the host reads block k+1 AND drains block k-1 to the sinks (the
         # reference's thread/ring-buffer decoupling, SURVEY §2.10 row 2,
         # without threads — JAX async dispatch is the second stage)
         nxt = read_block()
-        pending = None       # (device_buffer, t_start) in flight
+        pending = None       # device audio buffer in flight
         while not self._stop.is_set():
             if nxt is None:
                 break
@@ -141,14 +194,16 @@ class Executive:
                 break
             self._apply_pending()
             with self.profiler:
-                t_start = time.monotonic()
+                t0 = time.perf_counter()
                 audio_p = self.bank.step_device(nxt)   # async dispatch
+                self.stage_ms["dispatch"] += \
+                    (time.perf_counter() - t0) * 1e3
                 nxt = read_block()                     # overlap host read
                 if pending is not None:
-                    finish(*pending)                   # drain block k-1
-            pending = (audio_p, t_start)
+                    finish(pending)                    # drain block k-1
+            pending = audio_p
         if pending is not None:
-            finish(*pending)
+            finish(pending)
         return self.profiler
 
     def stop(self):

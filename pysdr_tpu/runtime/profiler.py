@@ -28,6 +28,13 @@ class BlockProfiler:
         self._t0 = time.perf_counter()
         return self
 
+    def discount(self, dt: float):
+        """Exclude dt seconds (e.g. a realtime pacing sleep) from the
+        currently-open measurement, so mean_block_s reflects work, not
+        idle time."""
+        if self._t0 is not None:
+            self._t0 += dt
+
     def __exit__(self, *exc):
         dt = time.perf_counter() - self._t0
         self._times.append(dt)

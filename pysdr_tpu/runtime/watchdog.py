@@ -93,3 +93,50 @@ class WatchDog:
             self._timer.cancel()
         if self._log:
             self._log.close()
+
+
+class PairWatchDog(WatchDog):
+    """Atomic watermark control for a stereo L/R ring pair.
+
+    A StereoPairRing (runtime/audio.py) pulls both rings in lockstep, so
+    recentring one ring without its partner permanently skews L/R sample
+    alignment (ADVICE r2 #2). This watchdog evaluates the pair's combined
+    state and applies the SAME drop / zero-fill count to every ring in one
+    pass, preserving relative alignment."""
+
+    def __init__(self, rings, fs: float, **kw):
+        super().__init__(rings[0], fs, **kw)
+        self.rings = list(rings)
+        self.stats.tag = "+".join(r.tag for r in self.rings)
+
+    def check_once(self):
+        depths = [r.depth_fraction() for r in self.rings]
+        # the consumer is gated on min(nsamps): the emptiest ring sets the
+        # pair's effective latency; the fullest sets overflow risk
+        depth = min(depths)
+        latency = min(r.nsamps for r in self.rings) / self.fs
+        s = self.stats
+        s.depth = depth
+        s.latency_ema_s = ((1 - self._ema) * s.latency_ema_s
+                           + self._ema * latency)
+        s.overflows = sum(r.overflows for r in self.rings)
+        s.underflows = sum(r.underflows for r in self.rings)
+        size = min(r.size for r in self.rings)
+        if max(depths) > self.high:     # drop the same n from BOTH rings
+            n = int((max(depths) - self.target) * size)
+            for r in self.rings:
+                r.drop(n)
+            s.drops += 1
+            self._log_event("HIGH", n)
+        elif depth < self.low:          # zero-fill both by the same n
+            n = int((self.target - depth) * size)
+            for r in self.rings:
+                r.push_zeros(n)
+            s.zero_fills += 1
+            self._log_event("LOW", n)
+        if self._log:
+            self._log.write(f"{s.tag},{time.time():.3f},"
+                            f"{min(r.nsamps for r in self.rings)},"
+                            f"{latency:.4f},{s.latency_ema_s:.4f}\n")
+            self._log.flush()
+        self.last_alive = time.monotonic()

@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 from pysdr_tpu.config import PipelineConfig, ReceiverConfig
 from pysdr_tpu.io import synth
@@ -95,3 +96,35 @@ def test_executive_record_tap(tmp_path):
     x, hdr = datfile.read_dat(str(tmp_path / "demod.dat"))
     assert hdr.tag == "demod"
     assert len(x) == 3 * bank.design.out_block
+
+
+@pytest.mark.parametrize("wire,min_snr_db", [("i16", 55.0), ("i8", 25.0)])
+def test_executive_wire_formats(wire, min_snr_db):
+    """RF blocks shipped as raw CS16/CS8 ints and dequantized on device
+    must produce audio matching the float32 wire within the quantization
+    noise floor (i16 is lossless for real 8/14-bit SDR front-ends).
+    Signal amplitude stays inside ADC full scale |x| <= 1.0 — beyond it
+    the wire clips exactly like a real front-end would."""
+
+    def mk(**kw):
+        cfg = PipelineConfig(
+            fs_in=512e3, fs_out=48e3, out_block=1024, foffset_hz=60e3,
+            receivers=(ReceiverConfig(fc_hz=10e6, mode=Mode.AM,
+                                      agc_enabled=False),))
+        bank = ReceiverBank(cfg)
+        src = synth.SynthSource(
+            [synth.SignalSpec(offset_hz=60e3, mode="am", audio_hz=1000.0,
+                              amplitude=0.45)], fs=512e3)
+        return Executive(bank, src, **kw), bank
+
+    ex_f, bank_f = mk()
+    ex_q, bank_q = mk(wire=wire)
+    ex_f.run(n_blocks=4)
+    ex_q.run(n_blocks=4)
+    a = ex_f.audio_rings[0].pull(ex_f.audio_rings[0].nsamps).real
+    b = ex_q.audio_rings[0].pull(ex_q.audio_rings[0].nsamps).real
+    n = len(a) // 2
+    a, b = a[n:], b[n:]           # post-settle
+    err = a - b
+    snr = 10 * np.log10(float(a @ a) / max(float(err @ err), 1e-30))
+    assert snr >= min_snr_db, f"{wire}: {snr:.1f} dB"
