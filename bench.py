@@ -10,9 +10,11 @@ Prints ONE JSON line {metric, value, unit, vs_baseline, extra}:
                   envelope (it publishes no benchmark numbers; BASELINE.md);
   extra         = the full per-config table: configs 1-3 (one executable —
                   modes are traced params), config 5 (64-ch channelizer),
-                  end_to_end (host source -> device -> host audio via the
-                  streaming executive), pallas_4ch, and an HBM-traffic
-                  estimate for the headline config.
+                  pallas_4ch, an HBM-traffic estimate for the headline
+                  config, and the e2e_suite (host replay -> device ->
+                  host audio per wire format with per-stage ms/block,
+                  the 64-ch config host-to-host, host source rates, and
+                  the tunnel's first-pull tax).
 
 Each config runs in a SUBPROCESS with a hard timeout: compiles on the
 axon-tunneled backend can take minutes and must not hang the whole bench.
@@ -31,16 +33,25 @@ BASELINE_SPS = 10e6          # reference max real-time RF rate (BASELINE.md)
 HBM_GBPS_NOMINAL = 819.0     # v5e HBM bandwidth, for the roofline estimate
 
 CONFIGS = {   # name -> (timeout_s, description)
+    # Device-only configs: measured with block_until_ready, NO
+    # device->host pull anywhere — the axon tunnel's first-pull stall
+    # (multi-minute reverse-path setup) never triggers.
     "bank4": (520, "4-RX mixed-mode bank over 8 MHz (BASELINE config 4)"),
     "modes1ch": (520, "1-RX AM/NFM+squelch/SSB+AGC at 2.048 MHz "
                       "(BASELINE configs 1-3, one executable)"),
     "chan64": (520, "64-channel polyphase channelizer + demod at "
                     "12.288 MHz (BASELINE config 5)"),
-    "end_to_end": (520, "host synth -> device bank -> host audio, "
-                        "streaming executive"),
     "pallas4": (520, "bank4 with the fused Pallas mix+decimate kernel"),
+    # One subprocess for everything host<->device so the tunnel's
+    # first-pull tax is paid ONCE (timed and reported), then each
+    # end-to-end config is measured in the clean steady state with a
+    # per-stage breakdown.
+    "e2e_suite": (1500, "host replay -> device bank -> host audio over "
+                        "f32/i16/i8 wires + 64-ch end-to-end; pays the "
+                        "tunnel tax once"),
     "host_source": (240, "replay-file host feeding rate: C++ streamer vs "
-                         "Python reader (SURVEY §7 hard part 4)"),
+                         "Python reader (SURVEY §7 hard part 4); no "
+                         "device traffic"),
 }
 
 
@@ -145,44 +156,81 @@ def bench_chan64():
             "fs_in": cfg.fs_in}
 
 
-def bench_end_to_end():
-    """The product number: host replay source -> device -> host audio pull
-    through the streaming executive (the path VERDICT r1 flagged as never
-    measured). Uses a looped .dat via the C++ streamer when built — the
-    Python synth source computes trig per sample and caps at ~2 Msamp/s,
-    which would measure the stimulus generator, not the radio."""
+def _write_am_dat(path, fs, n, offset_hz=120e3):
+    import numpy as np
+    from pysdr_tpu.io import datfile
+    t = np.arange(n) / fs
+    m = 0.5 * np.sin(2 * np.pi * 400.0 * t)
+    x = (0.45 * (1 + m) * np.exp(2j * np.pi * offset_hz * t)
+         ).astype(np.complex64)
+    w = datfile.DatWriter(path, fs=fs, fc=100e6 - offset_hz)
+    w.save_data(x)
+    w.close()
+
+
+def _run_e2e(argv, n_blocks=60, warm=2):
+    """Drive the App's executive for n_blocks after warm blocks; return
+    throughput + the per-stage ms/block breakdown."""
+    from pysdr_tpu import app as app_mod
+    args = app_mod.build_parser().parse_args(argv)
+    a = app_mod.App(args)
+    a.ex.run(n_blocks=warm)                    # compile + settle
+    base = dict(a.ex.stage_ms)
+    t0 = time.perf_counter()
+    a.ex.run(n_blocks=warm + n_blocks)
+    dt = time.perf_counter() - t0
+    d = a.bank.design
+    stages = {k: (a.ex.stage_ms[k] - base[k]) / n_blocks
+              for k in a.ex.stage_ms}
+    return {"samples_per_s": n_blocks * d.in_block / dt,
+            "in_block": d.in_block, "n_rx": a.bank.n_rx,
+            "audio_sps_out": n_blocks * d.out_block / dt,
+            "block_ms": dt / n_blocks * 1e3,
+            "stage_ms": {k: round(v, 1) for k, v in stages.items()},
+            "source": type(a.source).__name__}
+
+
+def bench_e2e_suite():
+    """The product numbers: host replay -> device -> host audio through
+    the streaming executive, per wire format, plus the flagship 64-ch
+    configuration host-to-host and the raw host source rates. Everything
+    that pulls from the device lives in THIS one subprocess so the axon
+    tunnel's first-pull stall is paid once, up front, and reported."""
     import tempfile
 
-    import numpy as np
-    from pysdr_tpu import app as app_mod
-    from pysdr_tpu.io import datfile
+    from pysdr_tpu.utils import prepay_transfer_tax
 
+    partial = os.environ.get("PYSDR_TPU_PARTIAL")
+
+    def checkpoint(out):
+        if partial:
+            with open(partial, "w") as f:
+                json.dump(out, f)
+
+    out = {"first_pull_tax_s": round(prepay_transfer_tax(background=False)
+                                     or 0.0, 1)}
+    checkpoint(out)
     with tempfile.TemporaryDirectory() as td:
         path = os.path.join(td, "e2e.dat")
-        fs = 2.048e6
-        n = 1 << 22
-        t = np.arange(n) / fs
-        m = 0.5 * np.sin(2 * np.pi * 400.0 * t)
-        x = (0.5 * (1 + m) * np.exp(2j * np.pi * 120e3 * t)
-             ).astype(np.complex64)
-        w = datfile.DatWriter(path, fs=fs, fc=100e6 - 120e3)
-        w.save_data(x)
-        w.close()
-        args = app_mod.build_parser().parse_args(
-            ["--replay", path, "--fs", "2.048", "--block", "16384",
-             "--fc", "100.0"])
-        a = app_mod.App(args)
-        a.ex.run(n_blocks=1)          # warm up / compile
-        n_blocks = 100
-        t0 = time.perf_counter()
-        a.ex.run(n_blocks=1 + n_blocks)
-        dt = time.perf_counter() - t0
-        d = a.bank.design
-        from pysdr_tpu.runtime.native import NativeStreamer
-        return {"samples_per_s": n_blocks * d.in_block / dt,
-                "in_block": d.in_block,
-                "audio_sps_out": n_blocks * d.out_block / dt,
-                "native_source": isinstance(a.source, NativeStreamer)}
+        _write_am_dat(path, fs=2.048e6, n=1 << 22)
+        for wire in ("f32", "i16", "i8"):
+            out[f"end_to_end_{wire}"] = _run_e2e(
+                ["--replay", path, "--fs", "2.048", "--block", "16384",
+                 "--fc", "100.0", "--wire", wire])
+            print(f"# e2e {wire}: {out[f'end_to_end_{wire}']}",
+                  file=sys.stderr, flush=True)
+            checkpoint(out)
+        # flagship config 5 host-to-host: 64 channels over 12.288 MHz
+        path64 = os.path.join(td, "e2e64.dat")
+        _write_am_dat(path64, fs=12.288e6, n=1 << 23, offset_hz=96e3)
+        out["end_to_end_chan64"] = _run_e2e(
+            ["--replay", path64, "--channelize", "64", "--fs", "12.288",
+             "--block", "3072", "--fc", "100.0", "--wire", "i16"],
+            n_blocks=40)
+        print(f"# e2e chan64: {out['end_to_end_chan64']}",
+              file=sys.stderr, flush=True)
+        checkpoint(out)
+    return out
 
 
 def bench_host_source():
@@ -238,8 +286,8 @@ def run_config(name: str):
         return bench_modes1ch()
     if name == "chan64":
         return bench_chan64()
-    if name == "end_to_end":
-        return bench_end_to_end()
+    if name == "e2e_suite":
+        return bench_e2e_suite()
     if name == "host_source":
         return bench_host_source()
     raise SystemExit(f"unknown config {name}")
@@ -251,25 +299,37 @@ def main():
         return
 
     deadline = time.monotonic() + float(
-        os.environ.get("PYSDR_TPU_BENCH_DEADLINE", 1800))
+        os.environ.get("PYSDR_TPU_BENCH_DEADLINE", 2400))
     extra: dict = {}
     for name, (budget, _desc) in CONFIGS.items():
         left = deadline - time.monotonic()
         if left < 60:
             extra[name] = {"skipped": "bench deadline"}
             continue
+        partial_path = os.path.abspath(f".bench_partial_{name}.json")
+        env = dict(os.environ, PYSDR_TPU_PARTIAL=partial_path)
         try:
             p = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), name],
-                timeout=min(budget, left), capture_output=True, text=True)
+                timeout=min(budget, left), capture_output=True, text=True,
+                env=env)
             if p.returncode == 0:
                 extra[name] = json.loads(p.stdout.strip().splitlines()[-1])
             else:
                 extra[name] = {"error": p.stderr.strip()[-400:]}
         except subprocess.TimeoutExpired:
             extra[name] = {"error": f"timeout after {budget}s"}
+            # a killed e2e child leaves its progressive checkpoint
+            if os.path.exists(partial_path):
+                try:
+                    extra[name]["partial"] = json.load(open(partial_path))
+                except Exception:  # noqa: BLE001
+                    pass
         except Exception as e:  # noqa: BLE001
             extra[name] = {"error": str(e)[:400]}
+        finally:
+            if os.path.exists(partial_path):
+                os.unlink(partial_path)
         print(f"# {name}: {extra[name]}", file=sys.stderr, flush=True)
 
     headline = extra.get("bank4", {}).get("samples_per_s", 0.0)

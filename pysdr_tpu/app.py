@@ -96,6 +96,13 @@ def build_parser() -> argparse.ArgumentParser:
                     help="stop after N seconds of stream time")
     ap.add_argument("--realtime", action="store_true",
                     help="pace to the sample clock (default: free-run)")
+    ap.add_argument("--mesh", type=str, default=None, metavar="S,C",
+                    help="process across a device mesh: S stream (time) "
+                         "shards x C channel shards (jax.sharding.Mesh "
+                         "over the first S*C devices; state-continuous "
+                         "halo exchange, parallel/adapter.py). '1,8' = "
+                         "pure channel sharding, '4,1' = pure stream "
+                         "parallelism, '2,4' = both")
     ap.add_argument("--wire", choices=["f32", "i16", "i8"], default="f32",
                     help="host->device RF block format: raw CS16/CS8 "
                          "sample pairs ship 2x/4x fewer bytes and are "
@@ -254,7 +261,15 @@ def build_channelizer(args):
         channels=tuple(cs for _ in range(n)))
     bank = ChannelizerBank(cfg)
     if args.replay:
-        rd = datfile.DatReader(args.replay[0])
+        # same source preference as the receiver path: C++ prefetch
+        # streamer when built (app.build_source)
+        start = float(args.replay[1]) if len(args.replay) > 1 else 0.0
+        if start == 0.0 and not args.no_native:
+            from pysdr_tpu.runtime import native
+            if native.available():
+                return bank, native.NativeStreamer(
+                    args.replay[0], loop=not args.no_loop), cfg
+        rd = datfile.DatReader(args.replay[0], start_sec=start)
         return bank, rd, cfg
     # synthetic passband: one AM station on every 4th channel center
     offs = cfg.center_freqs_hz() - fc
@@ -278,7 +293,12 @@ class App:
     def __init__(self, args):
         from pysdr_tpu.models.receiver import ReceiverBank
         from pysdr_tpu.runtime.executive import Executive
+        from pysdr_tpu.utils import prepay_transfer_tax
 
+        # fire the first device->host pull NOW so the axon tunnel's
+        # multi-minute reverse-path setup overlaps compilation and the
+        # first block uploads (utils.prepay_transfer_tax)
+        prepay_transfer_tax()
         self.args = args
         if args.channelize:
             self.bank, self.source, self.cfg = build_channelizer(args)
@@ -299,6 +319,23 @@ class App:
             emit_bb = args.rtty is not None
             self.bank = ReceiverBank(cfg, emit_baseband=emit_bb,
                                      use_pallas=args.pallas)
+        if args.mesh:
+            from pysdr_tpu.parallel.adapter import (ShardedChannelizerBank,
+                                                    ShardedStreamBank,
+                                                    build_mesh)
+            s, _, c = args.mesh.partition(",")
+            mesh = build_mesh(int(s), int(c or 1))
+            if args.wire != "f32":
+                print("--wire is f32-only with --mesh; ignoring",
+                      file=sys.stderr)
+                args.wire = "f32"
+            if args.rtty is not None:
+                print("--rtty is not available with --mesh; ignoring",
+                      file=sys.stderr)
+                args.rtty = None
+            self.bank = (ShardedChannelizerBank(self.bank, mesh)
+                         if args.channelize else
+                         ShardedStreamBank(self.bank, mesh))
         d = self.bank.design
 
         # recording taps (pySDR.py:117-123)

@@ -164,11 +164,7 @@ class ReceiverBank:
     def _params_for(self, rc: cfg_mod.ReceiverConfig,
                     offset_hz: float) -> ChannelParams:
         d = self.design
-        video_bw = rc.video_bw_hz
-        if video_bw <= 0:
-            row = 0
-        else:
-            row = tables.find_filter_index(video_bw, self.video_bws)
+        row = self._video_row_for(rc)
         dp = demod_ops.make_params(
             d.demod, rc.mode, af_bw_hz=rc.af_bw_hz, bfo_hz=rc.bfo_hz,
             af_gain=rc.af_gain, squelch_db=rc.squelch_db,
@@ -178,10 +174,21 @@ class ReceiverBank:
             nco_k=jnp.int32(nco.snap_freq(offset_hz, d.fs_in)),
             video_row=jnp.int32(row), demod=dp)
 
+    def _video_row_for(self, rc: cfg_mod.ReceiverConfig) -> int:
+        if rc.video_bw_hz <= 0:
+            return 0
+        return tables.find_filter_index(rc.video_bw_hz, self.video_bws)
+
     def _build_params(self) -> ChannelParams:
         offs = self.cfg.channel_offsets_hz()
         plist = [self._params_for(rc, off)
                  for rc, off in zip(self._rx_cfgs, offs)]
+        # host-side shadow of the video rows: consumers that need the
+        # values (the pallas weight select) must NOT pull the device
+        # array — a device->host read outside the streaming path stalls
+        # for minutes on the axon tunnel (the round-2 pallas4 timeout)
+        self._video_rows_host = tuple(self._video_row_for(rc)
+                                      for rc in self._rx_cfgs)
         return jax.tree.map(lambda *xs: jnp.stack(xs), *plist)
 
     def init_state(self) -> BankState:
@@ -265,10 +272,13 @@ class ReceiverBank:
         return self._demod(state_p, x_p, bb_p, params)
 
     def _w_sel(self, params):
-        """Per-channel pallas weight selection, memoized on the actual
-        row indices (object identity would go stale if a caller ever
-        rebuilt an identical params tree)."""
-        rows = tuple(int(r) for r in np.asarray(params.video_row))
+        """Per-channel pallas weight selection, memoized on the host-side
+        row indices (_video_rows_host). Reading the DEVICE params array
+        here would be a device->host pull in the hot path — on the axon
+        tunnel the first such pull stalls for minutes (BENCH_r02's
+        pallas4 timeout); the host shadow is always in sync because every
+        params rebuild goes through _build_params."""
+        rows = self._video_rows_host
         if self._w_sel_for != rows:
             self._w_sel_cache = jnp.asarray(
                 self.video_bank_pallas[np.asarray(rows)])

@@ -1,0 +1,142 @@
+"""Executive-compatible adapters that run a bank across a device mesh.
+
+The streaming executive (runtime/executive.py) drives any bank through a
+small facade: `design.{fs_in,fs_out,in_block,out_block}`, `n_rx`,
+`step_device(x_p) -> packed audio`, and the block-boundary control
+methods. These adapters present that facade over the STATE-CONTINUOUS
+sharded processors (parallel/stream.py make_streaming_processor,
+parallel/chanshard.py make_channelizer_streaming_processor), so the CLI
+(`--mesh S,C`, app.py) processes a replay across real devices with audio
+that matches the serial path block after block:
+
+  * each executive block is one SUPER-block of S segments, one per
+    'stream' mesh row (in_block = S x the serial block);
+  * FIR/resampler state crosses calls exactly (the previous super-block's
+    RF tail feeds shard 0's halo); NCO/BFO phases are continuous via
+    carried per-channel bases; exponential recurrences (AGC/DC/squelch)
+    re-settle inside each shard's halo — the documented approximation of
+    stream parallelism (SURVEY §2.10 row 4);
+  * control methods delegate to the wrapped bank: the processors read
+    `bank.params` every call, so retune/mode/gain changes posted through
+    the executive's command queue apply at the next super-block exactly
+    like the serial path.
+
+This is the product-facing face of SURVEY §2.10 rows 1/4 (channel and
+time-block parallelism): the same binary, pointed at a mesh.
+"""
+
+from __future__ import annotations
+
+import types
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+from pysdr_tpu.parallel import chanshard as chanshard_mod
+from pysdr_tpu.parallel import stream as stream_mod
+
+
+def build_mesh(n_stream: int, n_ch: int) -> Mesh:
+    """Mesh over the first n_stream*n_ch available devices."""
+    devs = np.asarray(jax.devices()[:n_stream * n_ch])
+    assert devs.size == n_stream * n_ch, \
+        f"need {n_stream * n_ch} devices, have {len(jax.devices())}"
+    return Mesh(devs.reshape(n_stream, n_ch), ("stream", "ch"))
+
+
+class ShardedStreamBank:
+    """ReceiverBank across a stream x ch mesh, executive-compatible."""
+
+    def __init__(self, bank, mesh: Mesh, halo: int | None = None):
+        self.bank = bank
+        self.mesh = mesh
+        d = bank.design
+        self._s = mesh.shape["stream"]
+        seg = d.in_block
+        want = stream_mod.default_halo(d) if halo is None else halo
+        if seg < want:
+            import warnings
+            warnings.warn(
+                f"stream segment ({seg} samples, {seg / d.fs_in * 1e3:.0f}"
+                f" ms) is shorter than the recurrence-settle halo "
+                f"({want / d.fs_in * 1e3:.0f} ms): AGC/DC/squelch state "
+                f"will only partially re-settle per call — use a larger "
+                f"--block", stacklevel=2)
+        self._proc, self.halo = stream_mod.make_streaming_processor(
+            bank, mesh, seg, halo)
+        aseg = seg * d.up // d.down
+        self.design = types.SimpleNamespace(
+            fs_in=d.fs_in, fs_out=d.fs_out, up=d.up, down=d.down,
+            in_block=self._s * seg, out_block=self._s * aseg)
+        self._tail = jax.numpy.zeros((self.halo, 2), jax.numpy.float32)
+        self._nb = jax.numpy.zeros((bank.n_rx,), jax.numpy.int32)
+        self._bb = jax.numpy.zeros((bank.n_rx,), jax.numpy.int32)
+        self._last_bb = None
+
+    @property
+    def n_rx(self) -> int:
+        return self.bank.n_rx
+
+    def step_device(self, x_p):
+        """x_p: packed (S*seg, 2) float32. (The int wire formats are not
+        plumbed through the sharded halo exchange yet — app.py gates
+        --wire to f32 when --mesh is active.)"""
+        audio, self._nb, self._bb, self._tail = self._proc(
+            x_p, self.bank.params, self._tail, self._nb, self._bb)
+        return audio
+
+    # control plane: delegate everything else (set_mode, retune,
+    # set_af_gain, set_squelch, params, cfg, ...) to the wrapped bank
+    def __getattr__(self, name):
+        return getattr(self.bank, name)
+
+
+class ShardedChannelizerBank:
+    """ChannelizerBank across a stream x ch mesh, executive-compatible.
+
+    With n_stream == 1 this still goes through the streaming processor
+    (carried tail + phase bases), giving a pure channel-sharded bank
+    whose FIR state is exact across calls."""
+
+    def __init__(self, cb, mesh: Mesh, halo: int | None = None):
+        self.bank = cb
+        self.mesh = mesh
+        self._s = mesh.shape["stream"]
+        seg = cb.in_block
+        want = chanshard_mod.default_halo(cb) if halo is None else halo
+        if seg < want:
+            import warnings
+            warnings.warn(
+                f"stream segment ({seg} samples) is shorter than the "
+                f"recurrence-settle halo ({want}): state only partially "
+                f"re-settles per call — use a larger --block",
+                stacklevel=2)
+        self._proc, self.halo = \
+            chanshard_mod.make_channelizer_streaming_processor(
+                cb, mesh, seg, halo)
+        self.design = types.SimpleNamespace(
+            fs_in=cb.cfg.fs_in, fs_out=cb.plan.fs_out,
+            up=cb.plan.up, down=cb.plan.down,
+            in_block=self._s * seg,
+            out_block=self._s * cb.out_block)
+        jnp = jax.numpy
+        self._w_re = jnp.asarray(np.asarray(cb.w_re))
+        self._w_im = jnp.asarray(np.asarray(cb.w_im))
+        self._tail = jnp.zeros((self.halo, 2), jnp.float32)
+        self._nb = jnp.zeros((cb.n_ch,), jnp.int32)
+        self._bb = jnp.zeros((cb.n_ch,), jnp.int32)
+        self._last_bb = None
+
+    @property
+    def n_rx(self) -> int:
+        return self.bank.n_ch
+
+    def step_device(self, x_p):
+        audio, self._nb, self._bb, self._tail = self._proc(
+            x_p, self.bank.params, self._w_re, self._w_im,
+            self._tail, self._nb, self._bb)
+        return audio
+
+    def __getattr__(self, name):
+        return getattr(self.bank, name)

@@ -175,6 +175,97 @@ def make_channelizer_stream_processor(cb: ChannelizerBank, mesh: Mesh,
     return proc, H
 
 
+def make_channelizer_streaming_processor(cb: ChannelizerBank, mesh: Mesh,
+                                         seg: int,
+                                         halo: int | None = None):
+    """State-continuous repeated-call form of the 2-D stream x ch
+    channelizer (the streaming analogue of
+    make_channelizer_stream_processor — see parallel/stream.py
+    make_streaming_processor for the carried-state rationale):
+    shard 0's halo comes from the previous super-block's RF tail, and
+    per-channel fine-NCO/BFO phase bases advance across calls.
+
+    Returns (process, halo) with
+      process(x, params, w_re, w_im, tail_prev, nco_base, bfo_base)
+        -> (audio, new_nco_base, new_bfo_base, new_tail)
+    x: float32 (S*seg, 2) packed P('stream'); audio: float32
+    (n_ch, S*aseg, 2) P('ch', 'stream').
+    """
+    import jax.numpy as jnp
+
+    from pysdr_tpu.ops import demod as demod_ops_mod
+    from pysdr_tpu.ops import nco as nco_ops
+    from pysdr_tpu.ops import resample as rs
+
+    n = cb.n_ch
+    unit = n * cb.plan.down
+    assert seg % unit == 0, (seg, unit)
+    H = default_halo(cb) if halo is None else halo
+    H = min(-(-H // unit) * unit, seg)
+    n_stream = mesh.shape["stream"]
+    aseg = seg * cb.plan.up // (cb.plan.down * n)
+    ahalo = H * cb.plan.up // (cb.plan.down * n)
+    m_seg, m_h = seg // n, H // n
+
+    def shard_fn(x_local, params, w_re_l, w_im_l, tail_prev,
+                 nco_base, bfo_base):
+        tail = x_local[-H:]
+        perm = [(i, i + 1) for i in range(n_stream - 1)]
+        left = jax.lax.ppermute(tail, "stream", perm)
+        s = jax.lax.axis_index("stream")
+        left = jnp.where(s == 0, tail_prev, left)
+        xe = cplx.unpack(jnp.concatenate([left, x_local]))
+        hist0 = jnp.zeros(chan_ops.history_len(cb.chan_design),
+                          jnp.complex64)
+        v, _ = chan_ops.branch_filter(xe, hist0, cb.branch_weights, n)
+        y = chan_ops.channel_transform(v, w_re_l, w_im_l)
+
+        def one(stream_col, pr, nb, bb):
+            k = pr.nco_k
+            k_seg = nco_ops.advance(k, 0, m_seg)
+            k_h = nco_ops.advance(k, 0, m_h)
+            p0 = (nb + (k_seg * s) % nco_ops.DENOM - k_h
+                  + nco_ops.DENOM) % nco_ops.DENOM
+            z, _ = nco_ops.mix_down(stream_col, k, p0)
+            w = jnp.asarray(cb.video_bank)[pr.video_row]
+            kp1 = rs.history_len(
+                cb.plan.up * cb.cfg.video_taps_per_phase, cb.plan.up)
+            rh0 = jnp.zeros(kp1, jnp.complex64)
+            bb_sig, _ = rs.resample_block(z, rh0, w, up=cb.plan.up,
+                                          down=cb.plan.down)
+            bk = pr.demod.bfo_k
+            bk_seg = nco_ops.advance(bk, 0, aseg)
+            bk_h = nco_ops.advance(bk, 0, ahalo)
+            b0 = (bb + (bk_seg * s) % nco_ops.DENOM - bk_h
+                  + nco_ops.DENOM) % nco_ops.DENOM
+            dst = demod_ops_mod.init_state(cb.demod_design)._replace(
+                bfo_phase=b0)
+            audio, _ = demod_ops_mod.demod_block(
+                bb_sig, dst, pr.demod, cb.demod_design,
+                cb.carrier_taps, cb.pilot_taps)
+            return cplx.pack(audio[ahalo:])
+
+        return jax.vmap(one)(y.T, params, nco_base, bfo_base)
+
+    param_specs = jax.tree.map(lambda _: P("ch"), cb.params)
+    in_specs = (P("stream"), param_specs, P(None, "ch"), P(None, "ch"),
+                P(), P("ch"), P("ch"))
+    out_specs = P("ch", "stream")
+    sharded = jax.shard_map(shard_fn, mesh=mesh, in_specs=in_specs,
+                            out_specs=out_specs, check_vma=False)
+    total_ch_in = n_stream * m_seg       # channel-rate samples per call
+    total_out = n_stream * aseg
+
+    def proc_impl(x, params, w_re, w_im, tail_prev, nco_base, bfo_base):
+        audio = sharded(x, params, w_re, w_im, tail_prev, nco_base,
+                        bfo_base)
+        new_nb = nco_ops.advance(params.nco_k, nco_base, total_ch_in)
+        new_bb = nco_ops.advance(params.demod.bfo_k, bfo_base, total_out)
+        return audio, new_nb, new_bb, x[-H:]
+
+    return jax.jit(proc_impl), H
+
+
 def run_sharded(cb: ChannelizerBank, x, mesh: Mesh, n_blocks: int = 1,
                 axis: str = "ch"):
     """Convenience: process `n_blocks` consecutive blocks of host complex

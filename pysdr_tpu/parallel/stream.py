@@ -121,6 +121,98 @@ def make_stream_processor(bank: rx_mod.ReceiverBank, mesh: Mesh,
     return jax.jit(sharded), H
 
 
+def make_streaming_processor(bank: rx_mod.ReceiverBank, mesh: Mesh,
+                             seg: int, halo: int | None = None):
+    """State-continuous repeated-call form of the sharded processor.
+
+    Where make_stream_processor is one-shot (every call re-warms from a
+    zero halo, so repeated-block streaming is cold at shard 0 every
+    call), this carries the real cross-call state:
+
+      * the RF tail of the previous super-block becomes shard 0's left
+        halo (shards s>0 still fetch theirs from the left neighbor over
+        ppermute) — FIR/resampler histories are then EXACT everywhere
+        after the very first call, and the recurrence warm-up sees real
+        signal;
+      * per-channel NCO/BFO phase bases advance across calls, so LO and
+        beat phases are continuous over arbitrarily long streams (and
+        across retunes, matching the serial bank's phase behavior).
+
+    Returns (process, halo) with
+      process(x, params, tail_prev, nco_base, bfo_base)
+        -> (audio, new_nco_base, new_bfo_base, new_tail)
+    x: float32 (S*seg, 2) packed, sharded P('stream');
+    tail_prev: float32 (halo, 2) replicated (zeros on the first call);
+    nco_base/bfo_base: int32 (n_rx,) phase bases (zeros initially);
+    audio: float32 (n_rx, S*aseg, 2).
+    """
+    design = bank.design
+    d, u = design.down, design.up
+    assert seg % d == 0, (seg, d)
+    H = default_halo(design) if halo is None else halo
+    H = min(H, seg)
+    assert H % d == 0
+    n_stream = mesh.shape["stream"]
+    has_ch = "ch" in mesh.shape and mesh.shape["ch"] > 1
+    video_bank = bank.video_bank
+    carrier_taps, pilot_taps = bank.carrier_taps, bank.pilot_taps
+    out_halo = H * u // d
+    aseg, ahalo = seg * u // d, out_halo
+
+    def shard_fn(x_local, params, tail_prev, nco_base, bfo_base):
+        tail = x_local[-H:]
+        perm = [(i, i + 1) for i in range(n_stream - 1)]
+        left = jax.lax.ppermute(tail, "stream", perm)
+        s = jax.lax.axis_index("stream")
+        # shard 0's halo is the PREVIOUS super-block's tail, not zeros
+        left = jnp.where(s == 0, tail_prev, left)
+        xe = cplx.unpack(jnp.concatenate([left, x_local]))
+
+        def one_channel(p: rx_mod.ChannelParams, nb, bb):
+            k = p.nco_k
+            k_seg = nco.advance(k, 0, seg)
+            k_h = nco.advance(k, 0, H)
+            p0 = (nb + (k_seg * s) % nco.DENOM - k_h
+                  + nco.DENOM) % nco.DENOM
+            bk = p.demod.bfo_k
+            bk_seg = nco.advance(bk, 0, aseg)
+            bk_h = nco.advance(bk, 0, ahalo)
+            b0 = (bb + (bk_seg * s) % nco.DENOM - bk_h
+                  + nco.DENOM) % nco.DENOM
+            st = rx_mod.ChannelState(
+                nco_phase=p0,
+                demod=demod_ops.init_state(design.demod)._replace(
+                    bfo_phase=b0))
+            hist0 = jnp.zeros(resample.history_len(design.video_taps, u),
+                              jnp.complex64)
+            audio, _, _ = rx_mod.channel_step(
+                xe, hist0, st, p, design, video_bank, carrier_taps,
+                pilot_taps)
+            return cplx.pack(audio[out_halo:])
+
+        return jax.vmap(one_channel)(params, nco_base, bfo_base)
+
+    ch_or_rep = (lambda: P("ch")) if has_ch else (lambda: P())
+    in_specs = (P("stream"),
+                jax.tree.map(lambda _: ch_or_rep(), bank.params),
+                P(), ch_or_rep(), ch_or_rep())
+    out_specs = P("ch", "stream") if has_ch else P(None, "stream")
+    sharded = jax.shard_map(shard_fn, mesh=mesh, in_specs=in_specs,
+                            out_specs=out_specs, check_vma=False)
+
+    total_in = n_stream * seg
+    total_out = n_stream * aseg
+
+    def proc_impl(x, params, tail_prev, nco_base, bfo_base):
+        audio = sharded(x, params, tail_prev, nco_base, bfo_base)
+        # cross-call state advances: pure elementwise, outside shard_map
+        new_nb = nco.advance(params.nco_k, nco_base, total_in)
+        new_bb = nco.advance(params.demod.bfo_k, bfo_base, total_out)
+        return audio, new_nb, new_bb, x[-H:]
+
+    return jax.jit(proc_impl), H
+
+
 def process_stream(bank: rx_mod.ReceiverBank, x, mesh: Mesh,
                    halo: int | None = None):
     """Convenience one-shot: shard a long IQ array over the mesh's stream

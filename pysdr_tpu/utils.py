@@ -10,6 +10,40 @@ DEFAULT_CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), ".jax_cache")
 
 
+def prepay_transfer_tax(background: bool = True):
+    """Warm the device->host transfer path as early as possible.
+
+    On the axon-tunneled TPU backend the FIRST device->host pull of a
+    process stalls for minutes (measured 280-780 s this round) while the
+    proxy sets up its reverse data path; every later pull is ~25 ms. Any
+    app/bench process that will read audio/PSD back should fire this at
+    startup so the stall overlaps compilation and the first block
+    uploads instead of landing inside the streaming loop. No-op on CPU.
+
+    Returns the Thread (background=True) or the elapsed seconds.
+    """
+    def _pull():
+        import time
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        t0 = time.monotonic()
+        try:
+            np.asarray(jax.jit(lambda x: x + 1)(jnp.zeros((8,),
+                                                          jnp.float32)))
+        except Exception:
+            return None
+        return time.monotonic() - t0
+
+    if not background:
+        return _pull()
+    import threading
+    t = threading.Thread(target=_pull, daemon=True,
+                         name="prepay-transfer-tax")
+    t.start()
+    return t
+
+
 def enable_compilation_cache(path: str | None = None) -> str | None:
     """Opt-in JAX persistent compilation cache (PYSDR_TPU_CACHE=<dir>).
 

@@ -1,0 +1,160 @@
+"""State-continuous sharded streaming == serial, across REPEATED calls.
+
+VERDICT r2 #3: the one-shot sharded processors re-derive state per call
+(halo-approximate every block); the streaming forms
+(parallel/stream.make_streaming_processor, parallel/chanshard
+.make_channelizer_streaming_processor, the executive-facing adapters in
+parallel/adapter.py) carry the RF tail + NCO/BFO phase bases across
+calls. These tests drive >= 4 consecutive super-blocks and require the
+audio to match the serial bank everywhere after the initial settle —
+including across every super-block boundary, which the one-shot form
+fails (each call restarts cold at shard 0).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pysdr_tpu.config import PipelineConfig, ReceiverConfig
+from pysdr_tpu.io import synth
+from pysdr_tpu.models.channelizer_bank import (ChannelizerBank,
+                                               ChannelizerBankConfig,
+                                               ChannelSettings)
+from pysdr_tpu.models.receiver import ReceiverBank
+from pysdr_tpu.ops import cplx
+from pysdr_tpu.parallel import mesh as mesh_mod
+from pysdr_tpu.parallel.adapter import (ShardedChannelizerBank,
+                                        ShardedStreamBank)
+from pysdr_tpu.tables import Mode
+
+FS = 512e3
+FC0 = 10e6
+
+
+def make_bank(n_ch=1, out_block=1024, mode=Mode.AM):
+    rxs = tuple(
+        ReceiverConfig(fc_hz=FC0 + 40e3 * i, mode=mode, agc_enabled=False)
+        for i in range(n_ch))
+    cfg = PipelineConfig(fs_in=FS, fs_out=48e3, out_block=out_block,
+                         foffset_hz=60e3, receivers=rxs)
+    return ReceiverBank(cfg)
+
+
+def serial_audio(bank, x):
+    blocks = np.split(np.asarray(x), len(x) // bank.design.in_block)
+    outs = [np.asarray(bank.step(jnp.asarray(b))) for b in blocks]
+    return np.concatenate(outs, axis=1)
+
+
+def sharded_audio(adapter, x):
+    ib = adapter.design.in_block
+    outs = []
+    for b in np.split(np.asarray(x), len(x) // ib):
+        a = np.asarray(adapter.step_device(
+            jnp.asarray(cplx.pack(b.astype(np.complex64)))))
+        outs.append(cplx.unpack(a.reshape(adapter.n_rx, -1, 2)))
+    return np.concatenate(outs, axis=1)
+
+
+@pytest.mark.parametrize("n_stream,n_ch_mesh", [(2, 1), (4, 1), (2, 2)])
+def test_streaming_sharded_matches_serial_multiblock(n_stream, n_ch_mesh):
+    n_rx = max(n_ch_mesh, 2)
+    bank_s = make_bank(n_ch=n_rx, out_block=9600)
+    bank_p = make_bank(n_ch=n_rx, out_block=9600)
+    d = bank_s.design
+    n_calls = 4
+    n = d.in_block * n_stream * n_calls
+    offs = bank_s.cfg.channel_offsets_hz()
+    specs = [synth.SignalSpec(offset_hz=o, mode="am",
+                              audio_hz=500.0 + 200 * i)
+             for i, o in enumerate(offs)]
+    x = synth.render(specs, FS, n, noise_rms=0.01)
+    a_serial = serial_audio(bank_s, x)
+
+    m = mesh_mod.make_mesh(n_stream=n_stream, n_ch=n_ch_mesh)
+    adapter = ShardedStreamBank(bank_p, m)
+    a_par = sharded_audio(adapter, x)
+
+    assert a_par.shape == a_serial.shape
+    # everything after the initial settle must match — especially across
+    # the super-block boundaries at k * in_block * n_stream
+    skip = 16384
+    for c in range(n_rx):
+        err = np.max(np.abs(a_par[c, skip:] - a_serial[c, skip:]))
+        scale = np.std(a_serial[c, skip:]) + 1e-9
+        assert err / scale < 0.02, (c, err / scale)
+
+
+def test_streaming_sharded_control_change_applies_next_superblock():
+    """A block-boundary params change (the executive's command queue
+    semantics) must land at super-block k in the sharded path exactly as
+    at serial block k*S."""
+    n_stream = 2
+    bank_s = make_bank(n_ch=1, out_block=9600)
+    bank_p = make_bank(n_ch=1, out_block=9600)
+    d = bank_s.design
+    n_calls = 4
+    n = d.in_block * n_stream * n_calls
+    specs = [synth.SignalSpec(offset_hz=60e3, mode="am", audio_hz=700.0)]
+    x = synth.render(specs, FS, n, noise_rms=0.0)
+
+    blocks = np.split(np.asarray(x), n_calls * n_stream)
+    outs = []
+    for i, b in enumerate(blocks):
+        if i == 2 * n_stream:           # boundary of super-block 2
+            bank_s.set_af_gain(0, 2.0)
+        outs.append(np.asarray(bank_s.step(jnp.asarray(b))))
+    a_serial = np.concatenate(outs, axis=1)[0]
+
+    m = mesh_mod.make_mesh(n_stream=n_stream, n_ch=1)
+    adapter = ShardedStreamBank(bank_p, m)
+    super_blocks = np.split(np.asarray(x), n_calls)
+    outs = []
+    for i, b in enumerate(super_blocks):
+        if i == 2:
+            adapter.set_af_gain(0, 2.0)   # delegated to the inner bank
+        a = np.asarray(adapter.step_device(
+            jnp.asarray(cplx.pack(b.astype(np.complex64)))))
+        outs.append(cplx.unpack(a.reshape(1, -1, 2)))
+    a_par = np.concatenate(outs, axis=1)[0]
+
+    skip = 16384
+    err = np.max(np.abs(a_par[skip:] - a_serial[skip:]))
+    assert err / (np.std(a_serial[skip:]) + 1e-9) < 0.02
+    # and the gain change actually took effect
+    mid = len(a_par) // 2
+    assert np.std(a_par[mid + 4096:]) > 1.5 * np.std(a_par[skip:mid - 4096])
+
+
+def test_streaming_sharded_channelizer_multiblock():
+    n = 8
+    fs_in = n * 96e3
+    cfg = ChannelizerBankConfig(
+        fs_in=fs_in, n_channels=n, fs_out=48e3, out_block=9600,
+        fc_hz=100e6,
+        channels=tuple(ChannelSettings(mode=Mode.AM, agc_enabled=False)
+                       for _ in range(n)))
+    cb_s, cb_p = ChannelizerBank(cfg), ChannelizerBank(cfg)
+    offs = cfg.center_freqs_hz() - cfg.fc_hz
+    specs = [synth.SignalSpec(offset_hz=offs[i], mode="am", amplitude=0.4,
+                              audio_hz=300.0 + 100.0 * i)
+             for i in range(0, n, 2)]
+    n_calls, n_stream = 4, 2
+    total = cb_s.in_block * n_stream * n_calls
+    x = synth.render(specs, fs_in, total, noise_rms=0.0)
+
+    outs = []
+    for b in np.split(np.asarray(x), n_stream * n_calls):
+        outs.append(cb_s.step(b))
+    a_serial = np.concatenate(outs, axis=1)
+
+    m = mesh_mod.make_mesh(n_stream=n_stream, n_ch=4)
+    adapter = ShardedChannelizerBank(cb_p, m)
+    a_par = sharded_audio(adapter, x)
+
+    assert a_par.shape == a_serial.shape
+    skip = 16384
+    for c in range(0, n, 2):
+        err = np.max(np.abs(a_par[c, skip:] - a_serial[c, skip:]))
+        scale = np.std(a_serial[c, skip:]) + 1e-9
+        assert err / scale < 0.03, (c, err / scale)
