@@ -1,6 +1,6 @@
 """Headline benchmark: IQ samples/s through the full mix+filter+demod chain,
-across the BASELINE.md measurement plan (configs 1-5) plus an end-to-end
-(host->device->host) number and an XLA-vs-Pallas pair.
+across the BASELINE.md measurement plan (configs 1-5) plus end-to-end
+(host->device->host) numbers per wire format.
 
 Prints ONE JSON line {metric, value, unit, vs_baseline, extra}:
   metric/value  = RF input samples/s through the 4-channel 8 MHz bank
@@ -10,11 +10,10 @@ Prints ONE JSON line {metric, value, unit, vs_baseline, extra}:
                   envelope (it publishes no benchmark numbers; BASELINE.md);
   extra         = the full per-config table: configs 1-3 (one executable —
                   modes are traced params), config 5 (64-ch channelizer),
-                  pallas_4ch, an HBM-traffic estimate for the headline
-                  config, and the e2e_suite (host replay -> device ->
-                  host audio per wire format with per-stage ms/block,
-                  the 64-ch config host-to-host, host source rates, and
-                  the tunnel's first-pull tax).
+                  an HBM-traffic estimate for the headline config, and
+                  the e2e_suite (host replay -> device -> host audio per
+                  wire format with per-stage ms/block, the 64-ch config
+                  host-to-host, and the tunnel's first-pull tax).
 
 Each config runs in a SUBPROCESS with a hard timeout: compiles on the
 axon-tunneled backend can take minutes and must not hang the whole bench.
@@ -41,7 +40,9 @@ CONFIGS = {   # name -> (timeout_s, description)
                       "(BASELINE configs 1-3, one executable)"),
     "chan64": (520, "64-channel polyphase channelizer + demod at "
                     "12.288 MHz (BASELINE config 5)"),
-    "pallas4": (520, "bank4 with the fused Pallas mix+decimate kernel"),
+# ("pallas4" is gone: the hand Pallas mix+decimate kernel measured
+#  32.6 Gsamp/s vs the XLA framed-matmul's 34.6 on the real v5e and was
+#  deleted per that result — models/receiver.py note.)
     # One subprocess for everything host<->device so the tunnel's
     # first-pull tax is paid ONCE (timed and reported), then each
     # end-to-end config is measured in the clean steady state with a
@@ -76,7 +77,7 @@ def _rand_blocks(in_block, n=4):
 
 
 def _bank(fs_in, modes, out_block, spacing=500e3, foffset=750e3,
-          use_pallas=False, squelch_db=-150.0):
+          squelch_db=-150.0):
     from pysdr_tpu.config import PipelineConfig, ReceiverConfig
     from pysdr_tpu.models.receiver import ReceiverBank
     fc0 = 100e6
@@ -86,31 +87,30 @@ def _bank(fs_in, modes, out_block, spacing=500e3, foffset=750e3,
         for i, m in enumerate(modes))
     cfg = PipelineConfig(fs_in=fs_in, fs_out=48e3, out_block=out_block,
                          foffset_hz=foffset, receivers=rxs)
-    return ReceiverBank(cfg, use_pallas=use_pallas)
+    return ReceiverBank(cfg)
 
 
-def bench_bank4(use_pallas=False):
+def bench_bank4():
     from pysdr_tpu.tables import Mode
     bank = _bank(8e6, [Mode.AM, Mode.NFM, Mode.USB, Mode.CW],
-                 out_block=24576, use_pallas=use_pallas)
+                 out_block=24576)
     d = bank.design
     blocks = _rand_blocks(d.in_block)
     dt, iters = _measure(bank.step_device, blocks)
     sps = d.in_block * iters / dt
     res = {"samples_per_s": sps, "in_block": d.in_block, "n_rx": 4}
-    if not use_pallas:
-        # HBM roofline bounds. Lower bound: the RF block is read once
-        # (8 B/sample packed pair). Upper bound: each channel's framed
-        # resampler materializes ~L/down x the input (in practice XLA
-        # fuses the frame construction into the matmul, so the truth is
-        # near the lower bound — measured rates exceed nominal HBM BW
-        # under the naive model, proving the frames are never
-        # materialized).
-        kp = -(-d.video_taps // d.up)
-        L = d.down + kp - 1
-        res["hbm_gbps_lower"] = sps * 8 / 1e9
-        res["hbm_gbps_upper_naive"] = sps * 8 * (1 + 4 * L / d.down) / 1e9
-        res["hbm_util_lower"] = res["hbm_gbps_lower"] / HBM_GBPS_NOMINAL
+    # HBM roofline bounds. Lower bound: the RF block is read once
+    # (8 B/sample packed pair). Upper bound: each channel's framed
+    # resampler materializes ~L/down x the input (in practice XLA
+    # fuses the frame construction into the matmul, so the truth is
+    # near the lower bound — measured rates exceed nominal HBM BW
+    # under the naive model, proving the frames are never
+    # materialized).
+    kp = -(-d.video_taps // d.up)
+    L = d.down + kp - 1
+    res["hbm_gbps_lower"] = sps * 8 / 1e9
+    res["hbm_gbps_upper_naive"] = sps * 8 * (1 + 4 * L / d.down) / 1e9
+    res["hbm_util_lower"] = res["hbm_gbps_lower"] / HBM_GBPS_NOMINAL
     return res
 
 
@@ -252,16 +252,20 @@ def bench_host_source():
         w.close()
         out = {}
         block = 1 << 20
-        rd = datfile.DatReader(path)
-        t0 = time.perf_counter()
-        got = 0
-        while True:
-            x = rd.read_data(block)
-            got += len(x)
-            if len(x) < block:
-                break
-        out["python_reader_sps"] = got / (time.perf_counter() - t0)
-        if native.available():
+
+        def sweep_python():
+            rd = datfile.DatReader(path)
+            t0 = time.perf_counter()
+            got = 0
+            while True:
+                x = rd.read_data(block)
+                got += len(x)
+                if len(x) < block:
+                    break
+            rd.close()
+            return got / (time.perf_counter() - t0)
+
+        def sweep_native():
             ns = native.NativeStreamer(path)
             t0 = time.perf_counter()
             got = 0
@@ -270,8 +274,19 @@ def bench_host_source():
                 got += len(xp)
                 if len(xp) < block:
                     break
-            out["native_streamer_sps"] = got / (time.perf_counter() - t0)
             ns.close()
+            return got / (time.perf_counter() - t0)
+
+        # measure the CPU path, not the disk: first pass of each warms
+        # the page cache / rides out writeback of the just-written file
+        # (run-to-run spread without this: 120-800 Msamp/s); report the
+        # best of the remaining passes
+        sweep_python()
+        out["python_reader_sps"] = max(sweep_python() for _ in range(2))
+        if native.available():
+            sweep_native()
+            out["native_streamer_sps"] = max(sweep_native()
+                                             for _ in range(2))
         else:
             out["native_streamer_sps"] = None
         return out
@@ -280,8 +295,6 @@ def bench_host_source():
 def run_config(name: str):
     if name == "bank4":
         return bench_bank4()
-    if name == "pallas4":
-        return bench_bank4(use_pallas=True)
     if name == "modes1ch":
         return bench_modes1ch()
     if name == "chan64":

@@ -61,6 +61,9 @@ class PipelineConfig:
                                      # prefers large blocks; 1024 matches the
                                      # reference real-time chunk)
     foffset_hz: float = DEFAULT_FOFFSET_HZ
+    transverter_hz: float = 0.0      # up/down-converter ahead of the SDR:
+                                     # device tunes dial + this (reference
+                                     # +125 MHz Ham-It-Up, gui.py:1940-1944)
     video_taps_per_phase: int = 0    # 0 = auto (~8*down/up)
     af_taps: int = 256
     receivers: tuple[ReceiverConfig, ...] = ()
@@ -80,9 +83,12 @@ class PipelineConfig:
 
     @property
     def sdr_center_hz(self) -> float:
-        """Device tuner frequency: main RX center minus FOFFSET
-        (reference gui.py:1938-1944 `setFrequency(f2-FOFFSET)`)."""
-        return self.receivers[0].fc_hz - self.foffset_hz
+        """Device tuner frequency: main RX center minus FOFFSET, shifted
+        by the transverter offset (reference gui.py:1938-1944
+        `setFrequency(f2-FOFFSET [+125 MHz])`). All in-passband math
+        (NCO offsets) works on dial frequencies and is unaffected."""
+        return (self.receivers[0].fc_hz - self.foffset_hz
+                + self.transverter_hz)
 
     def channel_offsets_hz(self) -> list[float]:
         """Per-channel NCO offsets inside the passband:

@@ -111,21 +111,16 @@ class ReceiverBank:
     applied at the next block boundary).
     """
 
-    def __init__(self, cfg: cfg_mod.PipelineConfig, emit_baseband=False,
-                 use_pallas: bool | None = None):
+    def __init__(self, cfg: cfg_mod.PipelineConfig, emit_baseband=False):
         cfg_mod.validate(cfg)
         self.cfg = cfg
         self.design = ReceiverDesign.from_config(cfg)
         d = self.design
-        # Fused Pallas mix+decimate kernel (ops/pallas/mixdec.py): opt-in.
-        # Measured on v5e both paths sit at the same HBM-bound throughput
-        # for the full bank step (XLA fuses the framed-matmul path well);
-        # the kernel is kept as the explicit-control path for future tuning
-        # and larger channel counts.
-        if use_pallas is None:
-            use_pallas = False
-        self.use_pallas = use_pallas
-        self._pallas_interpret = jax.default_backend() != "tpu"
+        # A hand-written Pallas mix+decimate kernel was benched against
+        # this XLA framed-matmul path on the real v5e (BENCH r3:
+        # 32.6 Gsamp/s pallas vs 34.6 Gsamp/s XLA for the 4-RX 8 MHz
+        # bank) and deleted per that result: XLA already fuses the NCO
+        # mix into the polyphase matmul optimally for this op shape.
         # Video (anti-alias) weight bank: one packed conv weight per
         # VIDEO_BWs row (reference dec.filter_bank, gui.py:1672-1714).
         self.video_bws = [bw for bw in tables.VIDEO_BWS_HZ
@@ -139,11 +134,6 @@ class ReceiverBank:
         # constants additionally stay packed float (ops/cplx.py).
         self.video_bank = resample.pack_weight_bank(proto, d.up, d.down)
         self.video_proto = proto   # for the internals dump (receiver.py:864)
-        if self.use_pallas:
-            from pysdr_tpu.ops.pallas import mixdec
-            self._mixdec = mixdec
-            self.video_bank_pallas = mixdec.pack_weight_bank_pallas(
-                proto, d.up, d.down)
         self.carrier_taps = cplx.pack(d.demod.carrier_filter())
         self.pilot_taps = cplx.pack(d.demod.pilot_filter())
         self.emit_baseband = emit_baseband
@@ -155,9 +145,6 @@ class ReceiverBank:
         self.state = jax.tree.map(jnp.asarray, packed)  # device, no complex
 
         self._step = jax.jit(self._step_impl)
-        self._demod = jax.jit(self._demod_impl)
-        self._w_sel_cache = None
-        self._w_sel_for = None
 
     # ---------- construction ----------
 
@@ -183,10 +170,10 @@ class ReceiverBank:
         offs = self.cfg.channel_offsets_hz()
         plist = [self._params_for(rc, off)
                  for rc, off in zip(self._rx_cfgs, offs)]
-        # host-side shadow of the video rows: consumers that need the
-        # values (the pallas weight select) must NOT pull the device
-        # array — a device->host read outside the streaming path stalls
-        # for minutes on the axon tunnel (the round-2 pallas4 timeout)
+        # host-side shadow of the video rows: any consumer needing the
+        # values must NOT pull the device array — a device->host read
+        # outside the streaming path stalls for minutes on the axon
+        # tunnel (the round-2 pallas4-timeout lesson)
         self._video_rows_host = tuple(self._video_row_for(rc)
                                       for rc in self._rx_cfgs)
         return jax.tree.map(lambda *xs: jnp.stack(xs), *plist)
@@ -234,57 +221,6 @@ class ReceiverBank:
                cplx.pack(bb).reshape(-1) if self.emit_baseband else None)
         return new_state_p, out
 
-    def _demod_impl(self, state_p, x_p, bb_p, params):
-        """Back half of the pallas-split step: demod + state advance given
-        the fused kernel's baseband. Kept as a SEPARATE executable from the
-        Mosaic kernel: on the axon-tunneled backend, any executable that
-        mixes the Mosaic custom call with the demod graph yields result
-        buffers the runtime cannot transfer to host (UNIMPLEMENTED) —
-        splitting keeps the intermediate on device and the outputs
-        transferable."""
-        state = cplx.unpack_tree(state_p, self._state_mask)
-        d = self.design
-        kp1 = state.hist.shape[0]
-        x = cplx.unpack(cplx.dequantize(x_p))
-        bb = cplx.unpack(bb_p)
-        phase = nco.advance(params.nco_k, state.ch.nco_phase, x.shape[0])
-
-        def one_demod(bbc, dst, pr):
-            return demod_ops.demod_block(bbc, dst, pr.demod, d.demod,
-                                         self.carrier_taps, self.pilot_taps)
-        audio, dstate = jax.vmap(one_demod)(bb, state.ch.demod, params)
-        new_ch = ChannelState(nco_phase=phase, demod=dstate)
-        new_state = BankState(hist=x[-kp1:] if kp1 else state.hist,
-                              ch=new_ch)
-        new_state_p, _ = cplx.pack_tree(new_state)
-        out = (cplx.pack(audio).reshape(-1),
-               bb_p.reshape(-1) if self.emit_baseband else None)
-        return new_state_p, out
-
-    def _step_pallas(self, state_p, x_p, params):
-        """Pallas-mode step: two dispatches (fused kernel, then demod);
-        the baseband intermediate never leaves the device."""
-        d = self.design
-        bb_p = self._mixdec.mix_decimate(
-            x_p, state_p.hist, params.nco_k, state_p.ch.nco_phase,
-            self._w_sel(params), up=d.up, down=d.down,
-            interpret=self._pallas_interpret)
-        return self._demod(state_p, x_p, bb_p, params)
-
-    def _w_sel(self, params):
-        """Per-channel pallas weight selection, memoized on the host-side
-        row indices (_video_rows_host). Reading the DEVICE params array
-        here would be a device->host pull in the hot path — on the axon
-        tunnel the first such pull stalls for minutes (BENCH_r02's
-        pallas4 timeout); the host shadow is always in sync because every
-        params rebuild goes through _build_params."""
-        rows = self._video_rows_host
-        if self._w_sel_for != rows:
-            self._w_sel_cache = jnp.asarray(
-                self.video_bank_pallas[np.asarray(rows)])
-            self._w_sel_for = rows
-        return self._w_sel_cache
-
     def step(self, x):
         """Host convenience: process one RF block (in_block complex64 on
         the host). Returns host audio (n_rx, out_block) complex64;
@@ -309,8 +245,6 @@ class ReceiverBank:
         return audio_p
 
     def step_functional(self, state_p, x_p, params):
-        if self.use_pallas:
-            return self._step_pallas(state_p, x_p, params)
         return self._step(state_p, x_p, params)
 
     # ---------- control plane (block-boundary mutations) ----------

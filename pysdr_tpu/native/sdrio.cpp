@@ -21,6 +21,11 @@
 #include <string>
 #include <thread>
 
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
 // ---------------- SPSC lock-free ring buffer ----------------
 // One producer, one consumer; capacity in complex samples.
 
@@ -77,32 +82,50 @@ struct Ring {
     }
 };
 
-// ---------------- .dat file streamer ----------------
+// ---------------- .dat file streamer (mmap) ----------------
 // Parses the pysdr-tpu v1 container (io/datfile.py): magic "PSDRTPU1",
 // u32 JSON header length, JSON header with fs/fc/nchan/dtype, then raw
-// samples. A reader thread keeps the ring full (double buffering).
+// samples.
+//
+// The first version prefetched through a ring with a reader thread and
+// 200 us sleep-polls; for page-cached replay files that benched 2x
+// SLOWER than numpy's frombuffer (BENCH_r02 host_source: 341 vs
+// 640 Msamp/s — three copies + poll latency). This version mmaps the
+// file: one pass from the page cache into the caller's buffer
+// (converting on the fly for the 8/16-bit formats), MADV_SEQUENTIAL
+// readahead, no thread, no polls, loop wrap handled in-copy.
 
 struct Streamer {
-    FILE* f = nullptr;
-    Ring* ring = nullptr;
-    std::thread reader;
-    std::atomic<bool> stop{false};
-    std::atomic<bool> eof{false};
+    int fd = -1;
+    const uint8_t* map = nullptr;
+    size_t file_bytes = 0;
+    size_t data_start = 0;   // bytes
+    size_t pos = 0;          // bytes from data_start
     bool loop = false;
-    long data_start = 0;
+    std::atomic<bool> eof{false};
     double fs = 0.0, fc = 0.0;
     int nchan = 1;
     int dtype = 0;  // 0=complex64, 1=cs16, 2=cs8, 3=cu8
-    size_t chunk = 1 << 16;
+
+    bool open(const char* path) {
+        fd = ::open(path, O_RDONLY);
+        if (fd < 0) return false;
+        struct stat st;
+        if (fstat(fd, &st) != 0 || st.st_size < 12) return false;
+        file_bytes = static_cast<size_t>(st.st_size);
+        void* m = mmap(nullptr, file_bytes, PROT_READ, MAP_PRIVATE, fd, 0);
+        if (m == MAP_FAILED) return false;
+        map = static_cast<const uint8_t*>(m);
+        madvise(m, file_bytes, MADV_SEQUENTIAL);
+        return parse_header();
+    }
 
     bool parse_header() {
-        char magic[8];
-        if (std::fread(magic, 1, 8, f) != 8) return false;
-        if (std::memcmp(magic, "PSDRTPU1", 8) != 0) return false;
+        if (std::memcmp(map, "PSDRTPU1", 8) != 0) return false;
         uint32_t hlen = 0;
-        if (std::fread(&hlen, 4, 1, f) != 1 || hlen > 65536) return false;
-        std::string hdr(hlen, '\0');
-        if (std::fread(&hdr[0], 1, hlen, f) != hlen) return false;
+        std::memcpy(&hlen, map + 8, 4);
+        if (hlen > 65536 || 12 + hlen > file_bytes) return false;
+        std::string hdr(reinterpret_cast<const char*>(map + 12), hlen);
         auto num = [&](const char* key, double dflt) {
             size_t p = hdr.find(key);
             if (p == std::string::npos) return dflt;
@@ -117,7 +140,7 @@ struct Streamer {
         else if (hdr.find("\"int16\"") != std::string::npos) dtype = 1;
         else if (hdr.find("\"int8\"") != std::string::npos) dtype = 2;
         else if (hdr.find("\"uint8\"") != std::string::npos) dtype = 3;
-        data_start = std::ftell(f);
+        data_start = 12 + hlen;
         return true;
     }
 
@@ -129,52 +152,52 @@ struct Streamer {
         }
     }
 
-    void reader_loop() {
-        std::string raw(chunk * sample_bytes(), '\0');
-        std::string conv(chunk * 2 * sizeof(float), '\0');
-        while (!stop.load(std::memory_order_relaxed)) {
-            size_t want = std::min(chunk, ring->free_space());
-            if (want < chunk / 4) {  // ring nearly full: back off
-                std::this_thread::sleep_for(std::chrono::microseconds(200));
+    size_t data_bytes() const { return file_bytes - data_start; }
+
+    // Convert `n` samples at byte offset `off` straight into out.
+    void emit(float* out, size_t off, size_t n) const {
+        const uint8_t* src = map + data_start + off;
+        if (dtype == 0) {
+            std::memcpy(out, src, 8 * n);
+        } else if (dtype == 1) {
+            const int16_t* in = reinterpret_cast<const int16_t*>(src);
+            for (size_t i = 0; i < 2 * n; ++i)
+                out[i] = in[i] * (1.0f / 32768.0f);
+        } else if (dtype == 2) {
+            const int8_t* in = reinterpret_cast<const int8_t*>(src);
+            for (size_t i = 0; i < 2 * n; ++i)
+                out[i] = in[i] * (1.0f / 128.0f);
+        } else {
+            const uint8_t* in = src;
+            for (size_t i = 0; i < 2 * n; ++i)
+                out[i] = (in[i] - 127.5f) * (1.0f / 127.5f);
+        }
+    }
+
+    // Pull n samples (f32 pairs); short only at EOF (non-loop).
+    size_t read(float* out, size_t n) {
+        const size_t sb = sample_bytes();
+        const size_t total = data_bytes() / sb;   // samples in file
+        size_t done = 0;
+        while (done < n) {
+            size_t cur = pos / sb;
+            size_t avail = total - cur;
+            if (avail == 0) {
+                if (!loop || total == 0) { eof.store(true); break; }
+                pos = 0;
                 continue;
             }
-            size_t got = std::fread(&raw[0], sample_bytes(), want, f);
-            if (got == 0) {
-                if (loop) { std::fseek(f, data_start, SEEK_SET); continue; }
-                eof.store(true);
-                return;
-            }
-            const float* out;
-            if (dtype == 0) {
-                out = reinterpret_cast<const float*>(raw.data());
-            } else {
-                float* o = reinterpret_cast<float*>(&conv[0]);
-                if (dtype == 1) {
-                    const int16_t* in =
-                        reinterpret_cast<const int16_t*>(raw.data());
-                    for (size_t i = 0; i < 2 * got; ++i)
-                        o[i] = in[i] * (1.0f / 32768.0f);
-                } else if (dtype == 2) {
-                    const int8_t* in =
-                        reinterpret_cast<const int8_t*>(raw.data());
-                    for (size_t i = 0; i < 2 * got; ++i)
-                        o[i] = in[i] * (1.0f / 128.0f);
-                } else {
-                    const uint8_t* in =
-                        reinterpret_cast<const uint8_t*>(raw.data());
-                    for (size_t i = 0; i < 2 * got; ++i)
-                        o[i] = (in[i] - 127.5f) * (1.0f / 127.5f);
-                }
-                out = o;
-            }
-            size_t pushed = 0;
-            while (pushed < got && !stop.load(std::memory_order_relaxed)) {
-                pushed += ring->push(out + 2 * pushed, got - pushed);
-                if (pushed < got)
-                    std::this_thread::sleep_for(
-                        std::chrono::microseconds(200));
-            }
+            size_t take = std::min(n - done, avail);
+            emit(out + 2 * done, pos, take);
+            pos += take * sb;
+            done += take;
         }
+        return done;
+    }
+
+    ~Streamer() {
+        if (map) munmap(const_cast<uint8_t*>(map), file_bytes);
+        if (fd >= 0) ::close(fd);
     }
 };
 
@@ -209,49 +232,34 @@ void psdr_convert_cu8(const uint8_t* in, float* out, size_t n2) {
 }
 
 // ---- file streamer ----
+// (ring_samples kept in the signature for ABI stability; the mmap
+// streamer no longer needs a prefetch ring)
 void* psdr_streamer_open(const char* path, size_t ring_samples, int loop) {
+    (void)ring_samples;
     Streamer* s = new Streamer();
-    s->f = std::fopen(path, "rb");
-    if (!s->f || (s->ring = new Ring(ring_samples), !s->parse_header())) {
-        if (s->f) std::fclose(s->f);
-        delete s->ring;
+    if (!s->open(path)) {
         delete s;
         return nullptr;
     }
     s->loop = loop != 0;
-    s->reader = std::thread(&Streamer::reader_loop, s);
     return s;
 }
-// Pull exactly n samples (blocks until available or EOF); returns samples
-// delivered (short only at EOF).
+// Pull exactly n samples; returns samples delivered (short only at EOF).
 size_t psdr_streamer_read(void* sp, float* out, size_t n) {
-    Streamer* s = static_cast<Streamer*>(sp);
-    size_t got = 0;
-    while (got < n) {
-        got += s->ring->pull(out + 2 * got, n - got);
-        if (got < n) {
-            if (s->eof.load() && s->ring->count() == 0) break;
-            std::this_thread::sleep_for(std::chrono::microseconds(100));
-        }
-    }
-    return got;
+    return static_cast<Streamer*>(sp)->read(out, n);
 }
 size_t psdr_streamer_available(void* sp) {
-    return static_cast<Streamer*>(sp)->ring->count();
+    Streamer* s = static_cast<Streamer*>(sp);
+    if (s->loop) return ~size_t(0);
+    return (s->data_bytes() - s->pos) / s->sample_bytes();
 }
 double psdr_streamer_fs(void* sp) { return static_cast<Streamer*>(sp)->fs; }
 double psdr_streamer_fc(void* sp) { return static_cast<Streamer*>(sp)->fc; }
 int psdr_streamer_eof(void* sp) {
-    Streamer* s = static_cast<Streamer*>(sp);
-    return (s->eof.load() && s->ring->count() == 0) ? 1 : 0;
+    return static_cast<Streamer*>(sp)->eof.load() ? 1 : 0;
 }
 void psdr_streamer_close(void* sp) {
-    Streamer* s = static_cast<Streamer*>(sp);
-    s->stop.store(true);
-    if (s->reader.joinable()) s->reader.join();
-    std::fclose(s->f);
-    delete s->ring;
-    delete s;
+    delete static_cast<Streamer*>(sp);
 }
 
 }  // extern "C"

@@ -68,8 +68,9 @@ def _frames(xp, m: int, down: int, L: int):
     """F[j, s] = xp[j*down + s] for j in [0, m), s in [0, L) — built from
     row-block reshapes (pure layout ops, no gather/conv): pad xp to
     (m+q)*down, reshape to rows of `down`, and concatenate q row-shifted
-    views. XLA lowers this to copies; the Pallas kernel (ops/pallas/)
-    avoids even those by streaming."""
+    views. XLA lowers this to copies and fuses them into the consuming
+    matmul (a hand Pallas kernel that streamed the frames measured
+    slightly SLOWER on v5e — models/receiver.py note)."""
     q = -(-L // down)  # ceil
     need = (m + q) * down
     xp = jnp.concatenate([xp, jnp.zeros(need - xp.shape[0], xp.dtype)])

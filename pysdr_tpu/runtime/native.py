@@ -118,7 +118,7 @@ class NativeRing:
         return self._lib.psdr_rb_push(self._h, _as_fp(x), n)
 
     def pull(self, n: int) -> np.ndarray:
-        out = np.zeros((n, 2), np.float32)
+        out = np.empty((n, 2), np.float32)
         got = self._lib.psdr_rb_pull(self._h, _as_fp(out), n)
         return out[:got].view(np.complex64).reshape(-1)
 
@@ -151,9 +151,11 @@ class NativeStreamer:
         return self._lib.psdr_streamer_fc(self._h)
 
     def read_packed(self, n: int) -> np.ndarray:
-        """Blocking read of n samples as float32 (n, 2) packed pairs
-        (ready for jax.device_put without any host complex math)."""
-        out = np.zeros((n, 2), np.float32)
+        """Read n samples as float32 (n, 2) packed pairs (ready for
+        jax.device_put without any host complex math). np.empty, not
+        zeros: the C++ side overwrites every delivered sample and a
+        fresh 5-50 MB zero page-faults per block."""
+        out = np.empty((n, 2), np.float32)
         got = self._lib.psdr_streamer_read(self._h, _as_fp(out), n)
         return out[:got]
 

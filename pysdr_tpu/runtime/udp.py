@@ -99,6 +99,10 @@ class UdpMsgHandler:
         self.mode_name = mode_name
         self.band = band
         self.relay = None          # optional callable(msg) to bandmap
+        self.on_spots = None       # optional callable(SpotTable) — fired
+                                   # after every spot-table change so the
+                                   # display overlay stays in sync
+                                   # (app._sync_spots)
 
     @property
     def auto_mute(self) -> bool:
@@ -155,9 +159,13 @@ class UdpMsgHandler:
                         Spot(call=t[0], freq_khz=float(t[1]),
                              color=t[2] if len(t) > 2 else "k")
                         for t in lst)
+                    if self.on_spots:
+                        self.on_spots(self.spots)
             elif key == "LOG":
                 # LOG:CALL:BAND:FREQ:MODE:DATE_OFF:TIME_OFF (udp.py:115)
                 self.spots.recolor(mm[1], "r")
+                if self.on_spots:
+                    self.on_spots(self.spots)
             elif key == "RunFreq":
                 lo, hi = float(mm[1]), float(mm[2])
                 replies.append(f"RunFreq:{self.spots.find_quiet_freq(lo, hi):.3f}\n")

@@ -1,18 +1,33 @@
-"""Thin live viewer: single-file web waterfall + tuning surface.
+"""Live viewer: web waterfall + full per-RX control surface.
 
-The reference's core interactive loop — watch the pan-adaptor waterfall,
-click to tune, switch modes (reference gui.py:1222-1398 UpdatePSD,
-1769-1896 MouseClickRF, 1900-2038 FreqSelect) — reproduced headlessly:
-a stdlib HTTP server streams DisplayEngine frames as JSON to an embedded
-HTML/canvas page at ~5 Hz, and clicks post pure params swaps back through
-`executive.post` (block-boundary mutation, zero recompiles). No Qt, no
-dependencies, one open port.
+The reference's interactive loop — watch the pan-adaptor waterfall, click
+to tune, adjust each RX (reference gui.py:1222-1398 UpdatePSD, 1769-1896
+MouseClickRF, 1900-2038 FreqSelect, 382-468 per-RX freq boxes + AF
+gain/mute, 1672-1765 video/AF BW menus, 521-598 pan controls;
+Plotting.py:634-686 spot rendering) — reproduced headlessly: a stdlib
+HTTP server streams DisplayEngine frames to an embedded HTML/canvas page,
+and every control posts a pure params swap back through `executive.post`
+(block-boundary mutation, zero recompiles). No Qt, no dependencies.
+
+Surface:
+  * RF PSD + waterfall with bandmap spot overlay (labels at their
+    frequencies, colors from the UDP SpotTable) and click-to-tune with
+    spot snapping;
+  * SO2V/dual-VFO mouse semantics: left click tunes the selected RX,
+    RIGHT click tunes RX1 (VFO-B), middle click swaps RX0/RX1
+    (reference gui.py:1769-1896);
+  * a pane per RX: frequency, mode, video BW, AF BW menus, AF gain and
+    squelch sliders, mute — plus the selected RX's AF waterfall;
+  * a live RTTY panel (decoded text + per-channel state) when the
+    decoder runs (reference rtty.py:92-371 RTTY_GUI);
+  * waterfall rows cross the wire as base64 uint8, not JSON int lists.
 
     python -m pysdr_tpu ... --psd --web 8080    # then open localhost:8080
 """
 
 from __future__ import annotations
 
+import base64
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -26,55 +41,112 @@ PAGE = """<!DOCTYPE html>
 <html><head><title>pysdr_tpu</title><style>
  body{background:#111;color:#ddd;font:13px monospace;margin:14px}
  canvas{display:block;margin:4px 0;image-rendering:pixelated}
- #bar{margin:6px 0} select,button{background:#222;color:#ddd;border:1px solid #555}
+ select,button,input{background:#222;color:#ddd;border:1px solid #555}
  #freq{color:#8cf;font-size:18px}
+ table{border-collapse:collapse} td,th{padding:1px 8px;text-align:left}
+ tr.sel{background:#233} tr{cursor:pointer}
+ #rtty{white-space:pre;background:#0a0a0a;border:1px solid #333;
+       padding:4px;height:130px;overflow-y:scroll;display:none}
+ .lbl{color:#999}
 </style></head><body>
-<div id="bar"><span id="freq">--</span> Hz
- <select id="mode"></select>
- <span id="peaks"></span></div>
+<div><span id="freq">--</span> Hz <span id="peaks" class="lbl"></span></div>
 <canvas id="psd" width="1024" height="120"></canvas>
 <canvas id="wf" width="1024" height="240"></canvas>
-<div>click waterfall/PSD to tune &middot; RX0</div>
+<div class="lbl">click: tune selected RX &middot; right-click: VFO-B (RX1)
+ &middot; middle-click: VFO swap</div>
+<table id="rxt"><thead><tr><th>RX</th><th>freq Hz</th><th>mode</th>
+ <th>video BW</th><th>AF BW</th><th>gain</th><th>squelch dB</th>
+ <th>mute</th><th>level</th></tr></thead><tbody></tbody></table>
+<canvas id="af" width="512" height="160"></canvas>
+<div id="rtty"></div>
 <script>
 const wf=document.getElementById('wf'),psd=document.getElementById('psd');
+const af=document.getElementById('af');
 const wctx=wf.getContext('2d'),pctx=psd.getContext('2d');
-const modeSel=document.getElementById('mode');
-let f0=0,f1=1,modes=[];
-function lut(v){ // viridis-ish
- const t=v/255;return [Math.floor(255*(0.267+t*(0.993-0.267))),
-  Math.floor(255*(0.005+t*(0.906-0.005))),Math.floor(255*(0.329+(t<0.5?t*0.44:0.551-(t-0.5)*0.81)))];}
+const actx=af.getContext('2d');
+let f0=0,f1=1,sel=0,nrx=1,built=false,meta=null;
+function lut(v){const t=v/255;return [Math.floor(255*(0.267+t*0.726)),
+ Math.floor(255*(0.005+t*0.901)),Math.floor(255*(0.329+(t<0.5?t*0.44:0.551-(t-0.5)*0.81)))];}
+function b64u8(s){const b=atob(s);const a=new Uint8Array(b.length);
+ for(let i=0;i<b.length;i++)a[i]=b.charCodeAt(i);return a;}
+function drawWF(ctx,cv,b64,rows,cols){
+ if(cv.width!=cols)cv.width=cols;
+ const u=b64u8(b64),img=ctx.createImageData(cols,rows);
+ for(let i=0;i<rows*cols;i++){const c=lut(u[i]);
+  img.data[4*i]=c[0];img.data[4*i+1]=c[1];img.data[4*i+2]=c[2];img.data[4*i+3]=255;}
+ ctx.putImageData(img,0,0);}
+function drawPSD(ctx,cv,p,spots,g0,g1){
+ ctx.fillStyle='#111';ctx.fillRect(0,0,cv.width,cv.height);
+ const lo=Math.min(...p),hi=Math.max(...p)+1e-6;
+ ctx.strokeStyle='#8cf';ctx.beginPath();
+ for(let x=0;x<p.length;x++){const y=cv.height-1-(p[x]-lo)/(hi-lo)*(cv.height-2);
+  x?ctx.lineTo(x,y):ctx.moveTo(x,y);}
+ ctx.stroke();
+ if(spots)for(const s of spots){
+  const x=(s.f-g0)/(g1-g0)*cv.width;if(x<0||x>cv.width)continue;
+  ctx.fillStyle={'r':'#f66','b':'#66f','g':'#6f6','y':'#ff6'}[s.color]||'#ff6';
+  ctx.fillRect(x,0,1,cv.height);ctx.fillText(s.label,x+2,10);}}
+function ctl(rx,what,v){fetch(what+'?rx='+rx+'&v='+encodeURIComponent(v));}
+function buildRows(d){
+ const tb=document.querySelector('#rxt tbody');tb.innerHTML='';
+ d.rx.forEach((r,i)=>{
+  const tr=document.createElement('tr');tr.id='rx'+i;
+  tr.onclick=(e)=>{if(e.target.tagName==='TD'){sel=i;}};
+  const opt=(list,cur,fmt)=>list.map(v=>
+   `<option value="${v}" ${v==cur?'selected':''}>${fmt(v)}</option>`).join('');
+  tr.innerHTML=`<td>${i}</td>
+   <td><input id="f${i}" size=10 value="${r.fc}"></td>
+   <td><select id="m${i}">${opt(d.modes,r.mode,v=>v)}</select></td>
+   <td><select id="vb${i}">${opt(d.video_bws,r.video_bw,v=>v?v/1e3+'k':'Max')}</select></td>
+   <td><select id="ab${i}">${opt(d.af_bws,r.af_bw,v=>v?v/1e3+'k':'Max')}</select></td>
+   <td><input id="g${i}" type="range" min="0" max="3" step="0.1" value="${r.gain}"></td>
+   <td><input id="sq${i}" size=4 value="${r.squelch}"></td>
+   <td><input id="mu${i}" type="checkbox" ${r.muted?'checked':''}></td>
+   <td id="lv${i}"></td>`;
+  tb.appendChild(tr);
+  document.getElementById('f'+i).onchange=e=>fetch('tune?rx='+i+'&f='+e.target.value);
+  document.getElementById('m'+i).onchange=e=>fetch('mode?rx='+i+'&m='+e.target.value);
+  document.getElementById('vb'+i).onchange=e=>ctl(i,'videobw',e.target.value);
+  document.getElementById('ab'+i).onchange=e=>ctl(i,'afbw',e.target.value);
+  document.getElementById('g'+i).onchange=e=>ctl(i,'gain',e.target.value);
+  document.getElementById('sq'+i).onchange=e=>ctl(i,'squelch',e.target.value);
+  document.getElementById('mu'+i).onchange=e=>ctl(i,'mute',e.target.checked?1:0);});
+ built=true;}
 async function tick(){
  try{
-  const r=await fetch('frame.json');const d=await r.json();
+  const r=await fetch('frame.json?rx='+sel);const d=await r.json();
   if(!d.ok){setTimeout(tick,400);return}
-  f0=d.f0;f1=d.f1;
-  document.getElementById('freq').textContent=d.fc.toFixed(0);
-  if(modes.length==0&&d.modes){modes=d.modes;
-   for(const m of modes){const o=document.createElement('option');o.text=m;modeSel.add(o);}
-   modeSel.value=d.mode;
-   modeSel.onchange=()=>fetch('mode?m='+modeSel.value);}
-  else if(document.activeElement!==modeSel){modeSel.value=d.mode;}
+  f0=d.rf.f0;f1=d.rf.f1;nrx=d.n_rx;
+  document.getElementById('freq').textContent=d.rx[sel].fc.toFixed(0);
   document.getElementById('peaks').textContent=
-    d.peaks.map(p=>p.toFixed(0)).join(' ');
-  const rows=d.wf.length,cols=d.wf[0].length;
-  if(wf.width!=cols){wf.width=cols;psd.width=cols;}
-  const img=wctx.createImageData(cols,rows);
-  for(let y=0;y<rows;y++)for(let x=0;x<cols;x++){
-   const c=lut(d.wf[y][x]),i=4*(y*cols+x);
-   img.data[i]=c[0];img.data[i+1]=c[1];img.data[i+2]=c[2];img.data[i+3]=255;}
-  wctx.putImageData(img,0,0);
-  pctx.fillStyle='#111';pctx.fillRect(0,0,psd.width,psd.height);
-  pctx.strokeStyle='#8cf';pctx.beginPath();
-  const lo=Math.min(...d.psd),hi=Math.max(...d.psd)+1e-6;
-  for(let x=0;x<cols;x++){const y=psd.height-1-(d.psd[x]-lo)/(hi-lo)*(psd.height-2);
-   x?pctx.lineTo(x,y):pctx.moveTo(x,y);}
-  pctx.stroke();
+    'peaks: '+d.rf.peaks.map(p=>p.toFixed(0)).join(' ');
+  if(!built)buildRows(d);
+  d.rx.forEach((r,i)=>{
+   const row=document.getElementById('rx'+i);
+   if(row)row.className=(i==sel)?'sel':'';
+   const lv=document.getElementById('lv'+i);
+   if(lv)lv.textContent=r.level.toFixed(2);
+   const fi=document.getElementById('f'+i);
+   if(fi&&document.activeElement!==fi)fi.value=r.fc;
+   const mi=document.getElementById('m'+i);
+   if(mi&&document.activeElement!==mi)mi.value=r.mode;});
+  drawWF(wctx,wf,d.rf.wf_b64,d.rf.rows,d.rf.cols);
+  drawPSD(pctx,psd,d.rf.psd,d.rf.spots,f0,f1);
+  if(d.af){drawWF(actx,af,d.af.wf_b64,d.af.rows,d.af.cols);}
+  if(d.rtty){const el=document.getElementById('rtty');el.style.display='block';
+   const rr=await fetch('rtty.json');const t=await rr.json();
+   el.textContent=t.channels.map(c=>
+     `ch${c.idx} ${c.freq_hz.toFixed(0)} Hz ${c.locked?'*':' '} ${c.text}`
+    ).join('\\n');el.scrollTop=el.scrollHeight;}
  }catch(e){}
  setTimeout(tick,200);}
-function clickTune(ev,el){const r=el.getBoundingClientRect();
- const f=f0+(ev.clientX-r.left)/r.width*(f1-f0);
- fetch('tune?f='+f.toFixed(0));}
-wf.onclick=e=>clickTune(e,wf);psd.onclick=e=>clickTune(e,psd);
+function fAt(ev,el){const r=el.getBoundingClientRect();
+ return f0+(ev.clientX-r.left)/r.width*(f1-f0);}
+for(const el of [wf,psd]){
+ el.onclick=e=>fetch('tune?rx='+sel+'&f='+fAt(e,el).toFixed(0));
+ el.oncontextmenu=e=>{e.preventDefault();
+  if(nrx>1)fetch('tune?rx=1&f='+fAt(e,el).toFixed(0));};
+ el.onauxclick=e=>{if(e.button==1){e.preventDefault();fetch('vfo_swap');}};}
 tick();
 </script></body></html>
 """
@@ -95,27 +167,70 @@ class _Handler(BaseHTTPRequestHandler):
         view: WebViewer = self.server.view  # type: ignore
         url = urlparse(self.path)
         q = parse_qs(url.query)
+
+        def qi(name, default=0):
+            return int(q.get(name, [str(default)])[0])
+
+        def qf(name):
+            return float(q[name][0])
+
         if url.path in ("/", "/index.html"):
             return self._send(PAGE.encode(), "text/html")
         if url.path == "/frame.json":
-            return self._send(json.dumps(view.frame_json()).encode(),
+            return self._send(
+                json.dumps(view.frame_json(sel=qi("rx"))).encode(),
+                "application/json")
+        if url.path == "/rtty.json":
+            return self._send(json.dumps(view.rtty_json()).encode(),
                               "application/json")
         if url.path == "/tune":
-            view.tune(float(q["f"][0]), int(q.get("rx", ["0"])[0]))
+            view.tune(qf("f"), qi("rx"))
             return self._send(b"ok", "text/plain")
         if url.path == "/mode":
-            view.set_mode(q["m"][0], int(q.get("rx", ["0"])[0]))
+            view.set_mode(q["m"][0], qi("rx"))
+            return self._send(b"ok", "text/plain")
+        if url.path == "/gain":
+            view.post("set_af_gain", qi("rx"), qf("v"))
+            return self._send(b"ok", "text/plain")
+        if url.path == "/squelch":
+            view.post("set_squelch", qi("rx"), qf("v"))
+            return self._send(b"ok", "text/plain")
+        if url.path == "/afbw":
+            view.post("set_af_bw", qi("rx"), qf("v"))
+            return self._send(b"ok", "text/plain")
+        if url.path == "/videobw":
+            view.post("set_video_bw", qi("rx"), qf("v"))
+            return self._send(b"ok", "text/plain")
+        if url.path == "/mute":
+            view.post("set_mute", qi("rx"), bool(qi("v")))
+            return self._send(b"ok", "text/plain")
+        if url.path == "/vfo_swap":
+            view.vfo_swap()
             return self._send(b"ok", "text/plain")
         self.send_error(404)
 
 
+def _wf_b64(fr) -> dict:
+    """Waterfall as base64 uint8 rows — the binary wire format (the old
+    nested-int-list JSON shipped ~0.5 MB/poll at 1024x100)."""
+    wf = np.ascontiguousarray(fr.waterfall_u8)
+    step = max(1, wf.shape[1] // 1024)
+    wf = wf[:, ::step]
+    return {"wf_b64": base64.b64encode(wf.tobytes()).decode(),
+            "rows": int(wf.shape[0]), "cols": int(wf.shape[1]),
+            "psd": np.asarray(fr.psd_db[::step], np.float64)
+                     .round(1).tolist(),
+            "f0": float(fr.freqs_hz[0]), "f1": float(fr.freqs_hz[-1])}
+
+
 class WebViewer:
-    """Bridges (DisplayEngine, Executive) to the browser."""
+    """Bridges (DisplayEngine, Executive[, RTTY]) to the browser."""
 
     def __init__(self, display, executive, port: int = 8080,
-                 host: str = "127.0.0.1"):
+                 host: str = "127.0.0.1", rtty_state=None):
         self.display = display
         self.ex = executive
+        self.rtty_state = rtty_state   # callable -> dict | None
         self.server = ThreadingHTTPServer((host, port), _Handler)
         self.server.daemon_threads = True
         self.server.view = self  # type: ignore
@@ -124,34 +239,67 @@ class WebViewer:
 
     # --- data plane ---
 
-    def frame_json(self) -> dict:
-        fr = self.display.frames.get("RF")
+    def _rx_cfgs(self):
         bank = self.ex.bank
         if hasattr(bank, "_rx_cfgs"):
-            cfg0 = bank._rx_cfgs[0]
-            fc = cfg0.fc_hz
-        else:                       # ChannelizerBank
-            cfg0 = bank._ch_cfgs[0]
-            fc = bank.cfg.fc_hz
+            return bank._rx_cfgs, True
+        return bank._ch_cfgs, False          # ChannelizerBank
+
+    def _rx_row(self, i, rc, is_rx) -> dict:
+        if is_rx:
+            fc = rc.fc_hz
+            video_bw = rc.video_bw_hz
+        else:
+            bank = self.ex.bank
+            fc = float(bank.cfg.center_freqs_hz()[i] + rc.fine_offset_hz)
+            video_bw = 0.0
+        af_fr = self.display.frames.get(f"AF{i}")
+        level = float(np.mean(af_fr.time_y)) if af_fr is not None else 0.0
+        return {"fc": fc, "mode": tables.MODE_NAMES[rc.mode],
+                "video_bw": video_bw, "af_bw": rc.af_bw_hz,
+                "gain": rc.af_gain, "squelch": rc.squelch_db,
+                "muted": bool(rc.muted), "level": level}
+
+    def frame_json(self, sel: int = 0) -> dict:
+        fr = self.display.frames.get("RF")
         if fr is None:
             return {"ok": False}
-        wf = fr.waterfall_u8
-        # decimate columns for the wire (<=1024)
-        step = max(1, wf.shape[1] // 1024)
-        return {
-            "ok": True,
-            "fc": fc,
-            "mode": tables.MODE_NAMES[cfg0.mode],
+        cfgs, is_rx = self._rx_cfgs()
+        sel = max(0, min(sel, len(cfgs) - 1))
+        rf = _wf_b64(fr)
+        rf["peaks"] = np.asarray(fr.peak_freqs_hz, np.float64).tolist()
+        rf["spots"] = [{"f": s.freq_hz, "label": s.label, "color": s.color}
+                       for s in self.display.rf.spots]
+        out = {
+            "ok": True, "n_rx": len(cfgs), "sel": sel,
             "modes": list(tables.MODE_NAMES.values()),
-            "f0": float(fr.freqs_hz[0]),
-            "f1": float(fr.freqs_hz[-1]),
-            "psd": np.asarray(fr.psd_db[::step], np.float64).round(1)
-                     .tolist(),
-            "wf": wf[:, ::step].tolist(),
-            "peaks": np.asarray(fr.peak_freqs_hz, np.float64).tolist(),
+            "video_bws": [bw for bw in tables.VIDEO_BWS_HZ],
+            "af_bws": [bw for bw in tables.AF_BWS_HZ],
+            "rf": rf,
+            "rx": [self._rx_row(i, rc, is_rx)
+                   for i, rc in enumerate(cfgs)],
+            "rtty": self.rtty_state is not None,
         }
+        af_fr = self.display.frames.get(f"AF{sel}")
+        if af_fr is not None:
+            out["af"] = _wf_b64(af_fr)
+        return out
 
-    # --- control plane (FreqSelect / ModeSelect equivalents) ---
+    def rtty_json(self) -> dict:
+        """Live RTTY panel state (the reference RTTY window's waterfall +
+        decoded-text list, rtty.py:92-371) — per-channel frequency, lock
+        flag, and rolling decoded text."""
+        if self.rtty_state is None:
+            return {"channels": []}
+        return self.rtty_state()
+
+    # --- control plane (FreqSelect / ModeSelect / sliders) ---
+
+    def post(self, method, *args):
+        """Guarded executive post: only control methods the active bank
+        implements (the channelizer has no video-BW bank, for one)."""
+        if hasattr(self.ex.bank, method):
+            self.ex.post(method, *args)
 
     def tune(self, freq_hz: float, rx: int = 0):
         # snap to a bandmap spot when close (reference click snapping,
@@ -159,12 +307,31 @@ class WebViewer:
         spot = self.display.rf.spots.snap(freq_hz, max_dist_hz=2e3)
         if spot is not None:
             freq_hz = spot.freq_hz
-        self.ex.post("retune", rx, freq_hz)
+        cfgs, is_rx = self._rx_cfgs()
+        if is_rx:
+            self.ex.post("retune", rx, freq_hz)
+        else:
+            # channelizer: retune = fine offset within the nearest channel
+            bank = self.ex.bank
+            ch = bank.channel_of(freq_hz)
+            off = freq_hz - float(bank.cfg.center_freqs_hz()[ch])
+            self.ex.post("retune", ch, off)
         if rx == 0:
             self.display.retune(freq_hz)
 
     def set_mode(self, name: str, rx: int = 0):
         self.ex.post("set_mode", rx, tables.mode_from_name(name))
+
+    def vfo_swap(self):
+        """Middle-click VFO A/B swap (reference gui.py:1838-1861): RX0 and
+        RX1 exchange frequencies, applied at the next block boundary."""
+        cfgs, is_rx = self._rx_cfgs()
+        if not is_rx or len(cfgs) < 2:
+            return
+        fa, fb = cfgs[0].fc_hz, cfgs[1].fc_hz
+        self.ex.post("retune", 0, fb)
+        self.ex.post("retune", 1, fa)
+        self.display.retune(fb)
 
     # --- lifecycle ---
 

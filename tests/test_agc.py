@@ -66,11 +66,15 @@ def test_decay_time_constant_matches_serial_loop():
     gain_ref = np.minimum(p.ref / np.maximum(env_ref, p.floor), p.max_gain)
     y_ref = x * gain_ref
     # compare output trajectories during the decay transient (skip the
-    # window-quantization edge right at the step)
+    # window-quantization edge right at the step). +-2 dB: the windowed
+    # form's only legitimate deviation from the serial loop is the
+    # 64-sample hold quantization, (1-decay)^64 ~ 6% (VERDICT r2 #8 —
+    # the old +-6 dB bound could hide a mis-set time constant).
+    lo, hi = 10 ** (-2 / 20), 10 ** (2 / 20)
     for t in (2000, 8000, 24000):
         seg = slice(step + t, step + t + 1000)
         r = np.mean(y[seg]) / np.mean(y_ref[seg])
-        assert 0.5 < r < 2.0, (t, r)
+        assert lo < r < hi, (t, r)
 
 
 def test_steady_state_hits_ref_level():

@@ -233,3 +233,38 @@ def test_probe_tool(tmp_path, capsys):
     assert "fs=0.512000 MHz" in out
     assert "smoke:" in out and "OK" in out
     assert probe.main(["--replay", str(tmp_path / "nope.dat")]) == 2
+
+
+def test_app_wfm_192k_audio(tmp_path):
+    """WFM at the reference's 192 kHz audio rate (reference
+    params.py:400-404: FS_OUT=192k for WFM) through the full app: synth
+    FM carrier -> WFM discriminator + de-emphasis -> 192 kHz wav with
+    the 400 Hz tone on top (VERDICT r2 #8)."""
+    prefix = str(tmp_path / "wfm")
+    run_app(["--fs", "2.048", "--fs-out", "192", "--mode", "WFM",
+             "--block", "8192", "--blocks", "6", "--wav", prefix])
+    w = wave.open(prefix + "_rx0.wav")
+    assert w.getframerate() == 192000
+    d = np.frombuffer(w.readframes(w.getnframes()), np.int16).reshape(
+        -1, w.getnchannels())[:, 0].astype(np.float32)
+    assert len(d) >= 4 * 8192
+    seg = d[len(d) // 2:]
+    sp = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+    f = np.fft.rfftfreq(len(seg), 1.0 / 192000)
+    pk = f[5 + np.argmax(sp[5:])]
+    assert abs(pk - 400.0) < 10.0, pk
+
+
+def test_transverter_offset_shifts_device_center_only():
+    """--transverter models an up-converter ahead of the SDR (reference
+    +125 MHz Ham-It-Up, gui.py:1940-1944): the device center shifts, the
+    in-passband NCO plan (dial-frequency math) does not."""
+    base = app_mod.build_parser().parse_args(
+        ["--fc", "14.1", "14.12", "--fs", "0.512"])
+    shifted = app_mod.build_parser().parse_args(
+        ["--fc", "14.1", "14.12", "--fs", "0.512",
+         "--transverter", "125"])
+    c0 = app_mod.build_config(base)
+    c1 = app_mod.build_config(shifted)
+    assert c1.sdr_center_hz == c0.sdr_center_hz + 125e6
+    assert c1.channel_offsets_hz() == c0.channel_offsets_hz()
