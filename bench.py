@@ -220,6 +220,15 @@ def bench_e2e_suite():
             print(f"# e2e {wire}: {out[f'end_to_end_{wire}']}",
                   file=sys.stderr, flush=True)
             checkpoint(out)
+        # big-block variant: 4x the block amortizes the tunnel's fixed
+        # ~20 ms/op overhead over 2.8 Msamples (1.37 s of stream) — the
+        # throughput-over-latency corner of the envelope
+        out["end_to_end_i8_xl"] = _run_e2e(
+            ["--replay", path, "--fs", "2.048", "--block", "65536",
+             "--fc", "100.0", "--wire", "i8"], n_blocks=20)
+        print(f"# e2e i8 xl: {out['end_to_end_i8_xl']}",
+              file=sys.stderr, flush=True)
+        checkpoint(out)
         # flagship config 5 host-to-host: 64 channels over 12.288 MHz
         path64 = os.path.join(td, "e2e64.dat")
         _write_am_dat(path64, fs=12.288e6, n=1 << 23, offset_hz=96e3)

@@ -328,10 +328,6 @@ class App:
                                                     build_mesh)
             s, _, c = args.mesh.partition(",")
             mesh = build_mesh(int(s), int(c or 1))
-            if args.wire != "f32":
-                print("--wire is f32-only with --mesh; ignoring",
-                      file=sys.stderr)
-                args.wire = "f32"
             if args.rtty is not None:
                 print("--rtty is not available with --mesh; ignoring",
                       file=sys.stderr)
@@ -445,7 +441,8 @@ class App:
             from pysdr_tpu.runtime.webview import WebViewer
             self.web = WebViewer(
                 self.display, self.ex, port=args.web,
-                rtty_state=self._rtty_state if self.rtty else None)
+                rtty_state=self._rtty_state if self.rtty else None,
+                presets_file=args.presets_file)
             print(f"live viewer: http://127.0.0.1:{self.web.port}/",
                   flush=True)
         self.memmon = None

@@ -96,6 +96,16 @@ class PipelineConfig:
         fc0 = self.receivers[0].fc_hz
         return [self.foffset_hz + r.fc_hz - fc0 for r in self.receivers]
 
+    def sampling_mode(self, tuner_min_hz: float = 24e6) -> str:
+        """Device sampling mode an RTL-class front-end would need at this
+        center: 'direct' (Q-branch direct sampling) below the tuner's
+        minimum, else 'quadrature' — the auto-switch the reference applies
+        on retune (reference receiver.py:671-680). Pure source-layer
+        modeling here (no live hardware on a TPU host); the replay/synth
+        sources carry it as an attribute for parity with setupSDR."""
+        return "direct" if self.sdr_center_hz < tuner_min_hz \
+            else "quadrature"
+
 
 def auto_foffset(fcs_hz: Sequence[float], fs_in: float,
                  min_offset_hz: float = 20e3) -> float:

@@ -169,7 +169,7 @@ class ThreeBox:
     def freqs_hz(self) -> np.ndarray:
         return self.design.freqs_hz(self.fc_hz)[self._lo:self._hi]
 
-    def _step_impl(self, x_p, wf, height_db):
+    def _step_impl(self, x_p, wf, height_db, dr_db):
         jnp = self._jnp
         x = cplx.unpack(x_p) if x_p.ndim == 2 else x_p.astype(jnp.complex64)
         row = spectrum.periodogram(
@@ -177,9 +177,10 @@ class ThreeBox:
         wf = spectrum.waterfall_push(wf, row)
         bg = spectrum.background_median(row)
         view = wf[:, self._lo:self._hi]
+        # dynamic range is TRACED so the pan-adaptor DR control
+        # (reference gui.py:521-598) is a pure value swap, no recompile
         img = spectrum.to_image_u8(
-            spectrum.clamp_dynamic_range(view, self.cfg.pan_dr_db),
-            self.cfg.pan_dr_db)
+            spectrum.clamp_dynamic_range(view, dr_db), dr_db)
         pidx, pval = spectrum.find_peaks(
             row[self._lo:self._hi], bg + height_db,
             min_dist=self.cfg.peak_dist_bins)
@@ -198,7 +199,8 @@ class ThreeBox:
             else:
                 x_block = jnp.asarray(x_block.astype(np.float32))
         self._wf, row, img, pidx, pval, bg, env = self._step(
-            x_block, self._wf, jnp.float32(self.cfg.peak_height_db))
+            x_block, self._wf, jnp.float32(self.cfg.peak_height_db),
+            jnp.float32(self.cfg.pan_dr_db))
         pidx = np.asarray(pidx)
         pval = np.asarray(pval)
         ok = pidx >= 0

@@ -79,9 +79,8 @@ class ShardedStreamBank:
         return self.bank.n_rx
 
     def step_device(self, x_p):
-        """x_p: packed (S*seg, 2) float32. (The int wire formats are not
-        plumbed through the sharded halo exchange yet — app.py gates
-        --wire to f32 when --mesh is active.)"""
+        """x_p: packed (S*seg, 2) float32 OR an int8/int16 wire block
+        (dequantized on device before the halo exchange)."""
         audio, self._nb, self._bb, self._tail = self._proc(
             x_p, self.bank.params, self._tail, self._nb, self._bb)
         return audio

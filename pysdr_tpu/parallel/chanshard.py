@@ -209,6 +209,8 @@ def make_channelizer_streaming_processor(cb: ChannelizerBank, mesh: Mesh,
 
     def shard_fn(x_local, params, w_re_l, w_im_l, tail_prev,
                  nco_base, bfo_base):
+        # wire dequant precedes the halo exchange (parallel/stream.py)
+        x_local = cplx.dequantize(x_local)
         tail = x_local[-H:]
         perm = [(i, i + 1) for i in range(n_stream - 1)]
         left = jax.lax.ppermute(tail, "stream", perm)
@@ -261,7 +263,7 @@ def make_channelizer_streaming_processor(cb: ChannelizerBank, mesh: Mesh,
                         bfo_base)
         new_nb = nco_ops.advance(params.nco_k, nco_base, total_ch_in)
         new_bb = nco_ops.advance(params.demod.bfo_k, bfo_base, total_out)
-        return audio, new_nb, new_bb, x[-H:]
+        return audio, new_nb, new_bb, cplx.dequantize(x[-H:])
 
     return jax.jit(proc_impl), H
 

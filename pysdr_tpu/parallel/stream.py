@@ -160,6 +160,10 @@ def make_streaming_processor(bank: rx_mod.ReceiverBank, mesh: Mesh,
     aseg, ahalo = seg * u // d, out_halo
 
     def shard_fn(x_local, params, tail_prev, nco_base, bfo_base):
+        # int8/int16 wire blocks dequantize on device BEFORE the halo
+        # exchange, so the carried tail and ppermute traffic stay f32
+        # (the jit specializes on the wire dtype)
+        x_local = cplx.dequantize(x_local)
         tail = x_local[-H:]
         perm = [(i, i + 1) for i in range(n_stream - 1)]
         left = jax.lax.ppermute(tail, "stream", perm)
@@ -208,7 +212,7 @@ def make_streaming_processor(bank: rx_mod.ReceiverBank, mesh: Mesh,
         # cross-call state advances: pure elementwise, outside shard_map
         new_nb = nco.advance(params.nco_k, nco_base, total_in)
         new_bb = nco.advance(params.demod.bfo_k, bfo_base, total_out)
-        return audio, new_nb, new_bb, x[-H:]
+        return audio, new_nb, new_bb, cplx.dequantize(x[-H:])
 
     return jax.jit(proc_impl), H
 

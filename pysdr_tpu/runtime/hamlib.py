@@ -52,16 +52,26 @@ class RigState:
         self.levels = {"RFPOWER": 0.5, "MICGAIN": 0.5,
                        "MONITOR_GAIN": 0.0}
         self.ant = 0
+        self.rit_hz = 0.0
 
     @property
     def _cfg(self):
         return self.ex.bank._rx_cfgs[self.i]
 
     def get_freq(self) -> float:
-        return self._cfg.fc_hz
+        # displayed (dial) frequency excludes the clarifier shift,
+        # like a real rig's RIT
+        return self._cfg.fc_hz - self.rit_hz
 
     def set_freq(self, hz: float):
-        self.ex.post("retune", self.i, hz)
+        self.ex.post("retune", self.i, hz + self.rit_hz)
+
+    def set_rit(self, hz: float):
+        """Clarifier/RIT: shift the RX by hz without moving the dial
+        (reference read_clarifier/rig_retune sync, gui.py:1402-1483)."""
+        dial = self.get_freq()
+        self.rit_hz = hz
+        self.ex.post("retune", self.i, dial + hz)
 
     def get_mode(self):
         m = self._cfg.mode
@@ -110,6 +120,11 @@ class _Handler(socketserver.StreamRequestHandler):
         if cmd == "M" or cmd == "\\set_mode":
             bw = float(args[1]) if len(args) > 1 else None
             rig.set_mode(args[0], bw)
+            return "RPRT 0\n"
+        if cmd == "j" or cmd == "\\get_rit":
+            return f"{rig.rit_hz:.0f}\n"
+        if cmd == "J" or cmd == "\\set_rit":
+            rig.set_rit(float(args[0]))
             return "RPRT 0\n"
         if cmd == "v" or cmd == "\\get_vfo":
             return "VFOA\n"

@@ -80,7 +80,16 @@ class RigConnection:
         self._cmd(f"V VFO{vfo}")
 
     def read_clarifier(self) -> float:
-        return 0.0   # not exposed by rigctl-net; reference reads rig-direct
+        """RIT offset in Hz (rigctl 'j' / get_rit; the reference's
+        read_clarifier, gui.py:1402-1483)."""
+        r = self._cmd("j")
+        try:
+            return float(r[0])
+        except (IndexError, ValueError):
+            return 0.0
+
+    def set_clarifier(self, hz: float):
+        self._cmd(f"J {hz:.0f}")
 
     def split(self, on: bool):
         self._cmd(f"S {1 if on else 0} VFOB")
@@ -151,14 +160,16 @@ class RigFollower:
 
     def __init__(self, executive, rig: RigConnection, rx_index: int = 0,
                  period_s: float = 1.0, follow_freq: bool = True,
-                 follow_band: bool = True):
+                 follow_band: bool = True, use_clarifier: bool = True):
         self.ex = executive
         self.rig = rig
         self.rx_index = rx_index
         self.period_s = period_s
         self.follow_freq = follow_freq
         self.follow_band = follow_band
+        self.use_clarifier = use_clarifier
         self.last_rig_freq = 0.0
+        self.last_clarifier_hz = 0.0
         self._stop = threading.Event()
         self._thread = None
 
@@ -168,6 +179,15 @@ class RigFollower:
         f = self.rig.get_freq()
         if f <= 0:
             return
+        # clarifier/RIT sync: the SDR listens where the operator's RIT
+        # actually puts the receive frequency (reference rig_retune
+        # clarifier handling, gui.py:1402-1483 via read_clarifier)
+        if self.use_clarifier:
+            try:
+                self.last_clarifier_hz = self.rig.read_clarifier()
+            except Exception:  # noqa: BLE001 — rig may not support RIT
+                self.last_clarifier_hz = 0.0
+            f = f + self.last_clarifier_hz
         cur = self.ex.bank._rx_cfgs[self.rx_index].fc_hz
         # min-20-Hz hysteresis like mode_freq_change (receiver.py:653-669)
         if self.follow_freq and abs(f - cur) > 20.0:

@@ -49,7 +49,15 @@ PAGE = """<!DOCTYPE html>
        padding:4px;height:130px;overflow-y:scroll;display:none}
  .lbl{color:#999}
 </style></head><body>
-<div><span id="freq">--</span> Hz <span id="peaks" class="lbl"></span></div>
+<div><span id="freq">--</span> Hz
+ <select id="preset"><option value="">presets...</option></select>
+ <span class="lbl">DR</span>
+ <input id="dr" type="range" min="20" max="100" step="5" value="60"
+  style="width:80px">
+ <label class="lbl"><input id="pk" type="checkbox" checked>peaks</label>
+ <select id="cmap"><option>viridis</option><option>jet</option>
+  <option>gray</option></select>
+ <span id="peaks" class="lbl"></span></div>
 <canvas id="psd" width="1024" height="120"></canvas>
 <canvas id="wf" width="1024" height="240"></canvas>
 <div class="lbl">click: tune selected RX &middot; right-click: VFO-B (RX1)
@@ -65,8 +73,22 @@ const af=document.getElementById('af');
 const wctx=wf.getContext('2d'),pctx=psd.getContext('2d');
 const actx=af.getContext('2d');
 let f0=0,f1=1,sel=0,nrx=1,built=false,meta=null;
-function lut(v){const t=v/255;return [Math.floor(255*(0.267+t*0.726)),
- Math.floor(255*(0.005+t*0.901)),Math.floor(255*(0.329+(t<0.5?t*0.44:0.551-(t-0.5)*0.81)))];}
+const LUTS={
+ viridis:v=>{const t=v/255;return [255*(0.267+t*0.726),
+  255*(0.005+t*0.901),255*(0.329+(t<0.5?t*0.44:0.551-(t-0.5)*0.81))];},
+ jet:v=>{const t=v/255;return [255*Math.min(1,Math.max(0,1.5-Math.abs(4*t-3))),
+  255*Math.min(1,Math.max(0,1.5-Math.abs(4*t-2))),
+  255*Math.min(1,Math.max(0,1.5-Math.abs(4*t-1)))];},
+ gray:v=>[v,v,v]};
+function lut(v){return LUTS[document.getElementById('cmap').value||'viridis'](v);}
+fetch('presets.json').then(r=>r.json()).then(ps=>{
+ const sel=document.getElementById('preset');
+ for(const p of ps){const o=document.createElement('option');
+  o.value=p.freq_hz+','+p.mode;o.text=p.name+' ('+p.group+')';sel.add(o);}
+ sel.onchange=()=>{const [f,m]=sel.value.split(',');
+  if(f){fetch('tune?rx=0&f='+f);fetch('mode?rx=0&m='+m);}};});
+document.getElementById('dr').onchange=e=>fetch('display?dr='+e.target.value);
+document.getElementById('pk').onchange=e=>fetch('display?peaks='+(e.target.checked?1:0));
 function b64u8(s){const b=atob(s);const a=new Uint8Array(b.length);
  for(let i=0;i<b.length;i++)a[i]=b.charCodeAt(i);return a;}
 function drawWF(ctx,cv,b64,rows,cols){
@@ -207,6 +229,17 @@ class _Handler(BaseHTTPRequestHandler):
         if url.path == "/vfo_swap":
             view.vfo_swap()
             return self._send(b"ok", "text/plain")
+        if url.path == "/display":
+            # pan-adaptor controls (reference gui.py:521-598): DR and
+            # peak picking are pure value swaps on the display pipeline
+            if "dr" in q:
+                view.display.rf.cfg.pan_dr_db = qf("dr")
+            if "peaks" in q:
+                view.display.rf.cfg.use_peaks = bool(qi("peaks"))
+            return self._send(b"ok", "text/plain")
+        if url.path == "/presets.json":
+            return self._send(json.dumps(view.presets_json()).encode(),
+                              "application/json")
         self.send_error(404)
 
 
@@ -227,10 +260,13 @@ class WebViewer:
     """Bridges (DisplayEngine, Executive[, RTTY]) to the browser."""
 
     def __init__(self, display, executive, port: int = 8080,
-                 host: str = "127.0.0.1", rtty_state=None):
+                 host: str = "127.0.0.1", rtty_state=None,
+                 presets_file: str | None = None):
         self.display = display
         self.ex = executive
         self.rtty_state = rtty_state   # callable -> dict | None
+        self.presets_file = presets_file
+        self._presets = None
         self.server = ThreadingHTTPServer((host, port), _Handler)
         self.server.daemon_threads = True
         self.server.view = self  # type: ignore
@@ -284,6 +320,18 @@ class WebViewer:
         if af_fr is not None:
             out["af"] = _wf_b64(af_fr)
         return out
+
+    def presets_json(self) -> list:
+        """Station preset list for the viewer's preset tabs (reference
+        presets.xls tabs, gui.py:408-435)."""
+        if self._presets is None:
+            from pysdr_tpu.runtime import presets as pre
+            plist, _ = pre.load(self.presets_file)
+            self._presets = [
+                {"name": p.name, "freq_hz": p.freq_hz,
+                 "mode": tables.MODE_NAMES[p.mode], "group": p.group}
+                for p in plist]
+        return self._presets
 
     def rtty_json(self) -> dict:
         """Live RTTY panel state (the reference RTTY window's waterfall +

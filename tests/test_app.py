@@ -268,3 +268,21 @@ def test_transverter_offset_shifts_device_center_only():
     c1 = app_mod.build_config(shifted)
     assert c1.sdr_center_hz == c0.sdr_center_hz + 125e6
     assert c1.channel_offsets_hz() == c0.channel_offsets_hz()
+
+
+def test_direct_sampling_auto_switch_modeling():
+    """RTL-class front-ends need Q-branch direct sampling below the
+    tuner's ~24 MHz minimum; the reference switches automatically on
+    retune (receiver.py:671-680). Modeled as a config/source property."""
+    hf = app_mod.build_config(app_mod.build_parser().parse_args(
+        ["--fc", "7.1", "--fs", "0.512"]))          # 40 m -> direct
+    vhf = app_mod.build_config(app_mod.build_parser().parse_args(
+        ["--fc", "144.2", "--fs", "0.512"]))        # 2 m -> quadrature
+    assert hf.sampling_mode() == "direct"
+    assert vhf.sampling_mode() == "quadrature"
+    # a transverter ahead of the SDR moves the DEVICE center, so it also
+    # flips the needed sampling mode (the Ham-It-Up exists precisely to
+    # avoid direct sampling)
+    up = app_mod.build_config(app_mod.build_parser().parse_args(
+        ["--fc", "7.1", "--fs", "0.512", "--transverter", "125"]))
+    assert up.sampling_mode() == "quadrature"

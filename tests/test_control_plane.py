@@ -151,3 +151,30 @@ def test_presets(tmp_path):
     c.write_text("KPBS,89500000,WFM,fm\n")
     pr2 = presets.load_csv(str(c))
     assert pr2[0].mode == Mode.WFM
+
+
+def test_rig_clarifier_rit_roundtrip():
+    """Clarifier/RIT sync: setting RIT on the 'rig' (our hamlib server)
+    shifts the RX without moving the dial, and the follower's
+    read_clarifier path sees it (reference rig_retune clarifier
+    handling, gui.py:1402-1483)."""
+    ex, bank = _mk_exec()
+    srv = hamlib.HamlibServer(ex, 0, port=0).start()
+    try:
+        port = srv.server.server_address[1]
+        rc = rig.RigConnection(port=port)
+        assert rc.read_clarifier() == 0.0
+        rc.set_clarifier(150.0)
+        ex._apply_pending()
+        # RX listens 150 Hz up; the dial still reads the base frequency
+        assert bank._rx_cfgs[0].fc_hz == 10e6 + 150.0
+        assert rc.get_freq() == 10e6
+        assert rc.read_clarifier() == 150.0
+        # dial moves with RIT held: RX tracks dial + RIT
+        rc.set_freq(14.2e6)
+        ex._apply_pending()
+        assert bank._rx_cfgs[0].fc_hz == 14.2e6 + 150.0
+        assert rc.get_freq() == 14.2e6
+        rc.close()
+    finally:
+        srv.stop()

@@ -158,3 +158,38 @@ def test_streaming_sharded_channelizer_multiblock():
         err = np.max(np.abs(a_par[c, skip:] - a_serial[c, skip:]))
         scale = np.std(a_serial[c, skip:]) + 1e-9
         assert err / scale < 0.03, (c, err / scale)
+
+
+def test_streaming_sharded_i16_wire():
+    """The int wire formats ride the sharded path: dequant happens on
+    device before the halo exchange, so sharded-i16 matches sharded-f32
+    within the quantization floor."""
+    bank_a = make_bank(n_ch=2, out_block=9600)
+    bank_b = make_bank(n_ch=2, out_block=9600)
+    d = bank_a.design
+    n = d.in_block * 2 * 2
+    offs = bank_a.cfg.channel_offsets_hz()
+    # two stations sum on the wire: keep the COMBINED peak inside ADC
+    # full scale |x| <= 1.0 or the int wire clips (by design)
+    specs = [synth.SignalSpec(offset_hz=o, mode="am", amplitude=0.3,
+                              audio_hz=500.0 + 200 * i)
+             for i, o in enumerate(offs)]
+    x = synth.render(specs, FS, n, noise_rms=0.001)
+    m = mesh_mod.make_mesh(n_stream=2, n_ch=1)
+    ad_f = ShardedStreamBank(bank_a, m)
+    ad_q = ShardedStreamBank(bank_b, m)
+    a_f = sharded_audio(ad_f, x)
+    ib = ad_q.design.in_block
+    outs = []
+    for b in np.split(np.asarray(x), len(x) // ib):
+        q = cplx.quantize_host(cplx.pack(b.astype(np.complex64)), "i16")
+        a = np.asarray(ad_q.step_device(jnp.asarray(q)))
+        outs.append(cplx.unpack(a.reshape(ad_q.n_rx, -1, 2)))
+    a_q = np.concatenate(outs, axis=1)
+    skip = 16384
+    for c in range(2):
+        ref, tst = a_f[c, skip:].real, a_q[c, skip:].real
+        err = ref - tst
+        snr = 10 * np.log10(float(ref @ ref)
+                            / max(float(err @ err), 1e-30))
+        assert snr > 55.0, (c, snr)

@@ -154,3 +154,21 @@ def test_webview_rtty_panel():
         assert t["lines"] == ["CQ CQ DE W1AW"]
     finally:
         a.stop_services()
+
+
+def test_webview_pan_controls_and_presets():
+    """Pan-adaptor DR / peaks controls (reference gui.py:521-598) mutate
+    the display pipeline live (DR is a traced value - no recompile), and
+    the preset list serves for the preset tabs (gui.py:408-435)."""
+    a = _mk_app()
+    try:
+        p = a.web.port
+        _get(p, "/display?dr=40&peaks=0")
+        assert a.display.rf.cfg.pan_dr_db == 40.0
+        assert a.display.rf.cfg.use_peaks is False
+        a.ex.run(n_blocks=2)        # pipeline still runs post-change
+        ps = json.loads(_get(p, "/presets.json"))
+        assert len(ps) > 3 and {"name", "freq_hz", "mode", "group"} \
+            <= set(ps[0])
+    finally:
+        a.stop_services()
