@@ -232,9 +232,12 @@ def bench_e2e_suite():
         # flagship config 5 host-to-host: 64 channels over 12.288 MHz
         path64 = os.path.join(td, "e2e64.dat")
         _write_am_dat(path64, fs=12.288e6, n=1 << 23, offset_hz=96e3)
+        # RF rides i8 CS8; the 64-channel AUDIO return (half the
+        # transport at f32) rides i16
         out["end_to_end_chan64"] = _run_e2e(
             ["--replay", path64, "--channelize", "64", "--fs", "12.288",
-             "--block", "3072", "--fc", "100.0", "--wire", "i16"],
+             "--block", "3072", "--fc", "100.0", "--wire", "i8",
+             "--audio-wire", "i16"],
             n_blocks=40)
         print(f"# e2e chan64: {out['end_to_end_chan64']}",
               file=sys.stderr, flush=True)

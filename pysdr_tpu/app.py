@@ -94,6 +94,13 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--synth-noise", type=float, default=0.001,
                     help="noise RMS for the synthetic source (-fake "
                          "equivalent, utils.py:71-273)")
+    ap.add_argument("--rf-gain", type=float, default=0.0, metavar="DB",
+                    help="front-end RF gain applied by the source "
+                         "(reference setupSDR gain staging, "
+                         "utils.py:292-353)")
+    ap.add_argument("--ppm", type=float, default=0.0,
+                    help="front-end frequency-correction error in ppm "
+                         "(reference PPM correction, utils.py:292-353)")
     # -- run control --
     ap.add_argument("--blocks", type=int, default=None,
                     help="stop after N device blocks")
@@ -113,9 +120,20 @@ def build_parser() -> argparse.ArgumentParser:
                          "sample pairs ship 2x/4x fewer bytes and are "
                          "dequantized on device (i16 is lossless for any "
                          "real SDR front-end; f32 = exact replay)")
+    ap.add_argument("--audio-wire", choices=["f32", "i16"], default="f32",
+                    help="device->host audio format: i16 halves the "
+                         "return transport (~90 dB SNR; the dominant "
+                         "byte stream for many-channel banks)")
     # -- recording taps (reference -save_iq/-save_demod; params.py:136-141)
     ap.add_argument("--save-iq", action="store_true",
                     help="record raw RF IQ to a timestamped .dat")
+    ap.add_argument("--save-iq-dtype", default="complex64",
+                    choices=["complex64", "int16", "int8"],
+                    help="recording sample format: int16/int8 store "
+                         "CS16/CS8 pairs at 1/2 / 1/4 the bytes "
+                         "(lossless for real 8/14-bit front-ends); both "
+                         "the Python reader and the C++ streamer replay "
+                         "them")
     ap.add_argument("--save-demod", action="store_true",
                     help="record demod audio to a timestamped .dat")
     ap.add_argument("--save-dir", type=str, default=".")
@@ -125,6 +143,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="pack RX pairs into one stereo player each "
                          "(RX i in L, RX i+1 in R — the reference's "
                          "scheme-2 routing, receiver.py:158-189)")
+    ap.add_argument("--fifo", type=str, default=None, metavar="PATH",
+                    help="also route RX0 audio as raw s16le PCM into a "
+                         "named pipe for other apps (the reference's "
+                         "PulseAudio loopback, start_loopback:1-100)")
     ap.add_argument("--aux-wav", type=str, default=None, metavar="PATH",
                     help="aux speaker path: RX0 audio through the "
                          "800-1300 Hz speech bandpass to its own wav "
@@ -236,7 +258,8 @@ def build_source(args, cfg: cfg_mod.PipelineConfig):
             offset_hz=off, mode=kind, amplitude=0.5,
             audio_hz=400.0 * (i + 1)))
     src = synth.SynthSource(specs, cfg.fs_in, noise_rms=args.synth_noise,
-                            fc=cfg.sdr_center_hz)
+                            fc=cfg.sdr_center_hz,
+                            rf_gain_db=args.rf_gain, ppm=args.ppm)
     return src, cfg.fs_in, cfg.sdr_center_hz
 
 
@@ -263,7 +286,7 @@ def build_channelizer(args):
         fs_in=fs_in, n_channels=n, fs_out=args.fs_out * 1e3,
         out_block=args.block, fc_hz=fc,
         channels=tuple(cs for _ in range(n)))
-    bank = ChannelizerBank(cfg)
+    bank = ChannelizerBank(cfg, audio_wire=args.audio_wire)
     if args.replay:
         # same source preference as the receiver path: C++ prefetch
         # streamer when built (app.build_source)
@@ -321,13 +344,17 @@ class App:
                 cfg = __import__("dataclasses").replace(cfg, fs_in=fs_src)
             self.cfg = cfg
             emit_bb = args.rtty is not None
-            self.bank = ReceiverBank(cfg, emit_baseband=emit_bb)
+            self.bank = ReceiverBank(cfg, emit_baseband=emit_bb,
+                                     audio_wire=args.audio_wire)
         if args.mesh:
             from pysdr_tpu.parallel.adapter import (ShardedChannelizerBank,
                                                     ShardedStreamBank,
                                                     build_mesh)
             s, _, c = args.mesh.partition(",")
             mesh = build_mesh(int(s), int(c or 1))
+            if args.audio_wire != "f32":
+                print("--audio-wire is f32-only with --mesh; ignoring",
+                      file=sys.stderr)
             if args.rtty is not None:
                 print("--rtty is not available with --mesh; ignoring",
                       file=sys.stderr)
@@ -345,7 +372,7 @@ class App:
             self.raw_writer = datfile.DatWriter(
                 os.path.join(args.save_dir,
                              datfile.timestamped_name("raw_iq")),
-                fs=d.fs_in, fc=fc_src)
+                fs=d.fs_in, fc=fc_src, dtype=args.save_iq_dtype)
         if args.save_demod:
             self.demod_writer = datfile.DatWriter(
                 os.path.join(args.save_dir,
@@ -372,12 +399,19 @@ class App:
             wire=args.wire)
 
         # audio sinks: wav files or null (no sound card on a TPU host)
-        from pysdr_tpu.runtime.audio import (WavSink, aux_bandpass_taps,
+        from pysdr_tpu.runtime.audio import (FifoSink, TeeSink, WavSink,
+                                             aux_bandpass_taps,
                                              create_players)
         self.players = create_players(
             self.bank, self.ex.audio_rings, d.fs_out,
             wav_prefix=args.wav, stereo_pairs=args.stereo,
             realtime=args.realtime)
+        if args.fifo and self.players:
+            # loopback routing: tee RX0's audio into a named pipe
+            p0 = self.players[0]
+            p0.sink = TeeSink(p0.sink,
+                              FifoSink(args.fifo, d.fs_out,
+                                       stereo=args.stereo))
 
         # aux speaker path: RX0 audio -> 800-1300 Hz BPF -> own sink
         # (reference receiver.py:214-221); streaming FIR with tail carry

@@ -13,7 +13,12 @@ defines a self-describing v1 container carrying the same information:
   { fs, fc, nchan, dtype, tag, timestamp } | raw samples (little-endian)
 
 Samples are interleaved complex64 by default (nchan channels interleaved
-sample-major, like the reference's stereo packing).
+sample-major, like the reference's stereo packing). dtype may also be
+"int16" / "int8" / "uint8": interleaved re,im pairs at 1/2 / 1/4 the
+bytes — the CS16/CS8/CU8 formats real front-ends produce (reference
+converts CS16 at receiver.py:614-617). Quantization convention matches
+the C++ streamer (native/sdrio.cpp): int16/32768, int8/128,
+(uint8-127.5)/127.5.
 """
 
 from __future__ import annotations
@@ -27,6 +32,29 @@ import time
 import numpy as np
 
 MAGIC = b"PSDRTPU1"
+
+# IQ-pair integer formats: (numpy dtype, full-scale divisor, offset)
+_INT_IQ = {"int16": (np.int16, 32768.0, 0.0),
+           "int8": (np.int8, 128.0, 0.0),
+           "uint8": (np.uint8, 127.5, 127.5)}
+
+
+def _quantize_iq(x: np.ndarray, dtype: str) -> np.ndarray:
+    """complex -> interleaved integer re,im pairs (ADC convention:
+    full scale |x| = 1.0, clipping beyond)."""
+    dt, scale, off = _INT_IQ[dtype]
+    pairs = np.stack([x.real, x.imag], -1).reshape(-1)
+    lo, hi = (0, 255) if dtype == "uint8" else (-scale, scale - 1)
+    return np.clip(np.rint(pairs * scale + off), lo, hi).astype(dt)
+
+
+def _dequantize_iq(raw: np.ndarray, dtype: str) -> np.ndarray:
+    """Interleaved integer pairs -> complex64."""
+    dt, scale, off = _INT_IQ[dtype]
+    f = (raw.astype(np.float32) - np.float32(off)) \
+        * np.float32(1.0 / scale)
+    f = f.reshape(-1, 2)
+    return (f[:, 0] + 1j * f[:, 1]).astype(np.complex64)
 
 
 def timestamped_name(tag: str, t: float | None = None) -> str:
@@ -61,12 +89,16 @@ class DatWriter:
 
     def save_data(self, x) -> int:
         x = np.asarray(x)
+        n_in = x.size
         if self.header.nchan > 1 and x.ndim == 2:
             x = x.reshape(-1)  # interleave channel-last
-        x = x.astype(self.header.dtype, copy=False)
+        if self.header.dtype in _INT_IQ and np.iscomplexobj(x):
+            x = _quantize_iq(x, self.header.dtype)   # compact IQ pairs
+        else:
+            x = x.astype(self.header.dtype, copy=False)
         self._f.write(x.tobytes())
-        self.nsamples += x.size // self.header.nchan
-        return x.size
+        self.nsamples += n_in // self.header.nchan
+        return n_in
 
     def close(self):
         self._f.close()
@@ -84,7 +116,10 @@ class DatReader:
         (hlen,) = struct.unpack("<I", self._f.read(4))
         self.header = DatHeader(**json.loads(self._f.read(hlen)))
         self._data_start = self._f.tell()
-        self._isize = np.dtype(self.header.dtype).itemsize * self.header.nchan
+        self._iq_pairs = self.header.dtype in _INT_IQ
+        per = 2 if self._iq_pairs else 1   # int formats store re,im pairs
+        self._isize = (np.dtype(self.header.dtype).itemsize * per
+                       * self.header.nchan)
         end = os.fstat(self._f.fileno()).st_size
         self.nsamples = (end - self._data_start) // self._isize
         if start_sec > 0:
@@ -114,6 +149,8 @@ class DatReader:
                 self._f.seek(self._data_start)
                 raw += self._f.read(n * self._isize - len(raw))
         x = np.frombuffer(raw, dtype=self.header.dtype)
+        if self._iq_pairs:
+            x = _dequantize_iq(x, self.header.dtype)
         if self.header.nchan > 1:
             x = x.reshape(-1, self.header.nchan)
         return x

@@ -59,20 +59,59 @@ def render(specs, fs: float, n: int, noise_rms: float = 0.0,
 
 class SynthSource:
     """Block-pull source with the same read lifecycle as DatReader —
-    phase-continuous across blocks."""
+    phase-continuous across blocks.
+
+    Also models the device-facing control surface the reference's fake
+    RTL driver mimics (~25 Soapy methods, reference utils.py:122-273;
+    applied by setupSDR, utils.py:292-353) with FUNCTIONAL effect where
+    one exists without hardware: RF gain scales the stream, the PPM
+    frequency correction shifts the received passband by -fc*ppm*1e-6
+    (an uncorrected front-end shows signals low by exactly that), and
+    the antenna selection is carried as state."""
 
     def __init__(self, specs, fs: float, noise_rms: float = 0.0,
-                 seed: int = 0, fc: float = 0.0):
+                 seed: int = 0, fc: float = 0.0, rf_gain_db: float = 0.0,
+                 ppm: float = 0.0, antenna: str = "RX"):
         self.specs, self.fs, self.noise_rms = tuple(specs), fs, noise_rms
         self.seed, self.fc = seed, fc
+        self.rf_gain_db = rf_gain_db
+        self.ppm = ppm
+        self.antenna = antenna
         self._n_read = 0
 
     @property
     def srate(self):
         return self.fs
 
+    # -- Soapy-shaped setters (reference RTL_SDR_DRIVER surface) --
+
+    def set_gain(self, db: float):
+        self.rf_gain_db = float(db)
+
+    def get_gain(self) -> float:
+        return self.rf_gain_db
+
+    def set_freq_correction(self, ppm: float):
+        self.ppm = float(ppm)
+
+    def get_freq_correction(self) -> float:
+        return self.ppm
+
+    def set_antenna(self, name: str):
+        self.antenna = name
+
+    def get_antenna(self) -> str:
+        return self.antenna
+
     def read_data(self, n: int, loop: bool = True):
+        t0 = self._n_read / self.fs
         x = render(self.specs, self.fs, n, self.noise_rms, self.seed,
-                   t0=self._n_read / self.fs)
+                   t0=t0)
+        if self.ppm:
+            df = -self.fc * self.ppm * 1e-6
+            t = t0 + np.arange(n) / self.fs
+            x = (x * np.exp(2j * np.pi * df * t)).astype(np.complex64)
+        if self.rf_gain_db:
+            x = (x * 10.0 ** (self.rf_gain_db / 20.0)).astype(np.complex64)
         self._n_read += n
         return x

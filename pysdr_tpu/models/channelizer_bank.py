@@ -110,8 +110,11 @@ class ChannelizerBank:
     """N uniform channels + demod with the same host control plane as
     ReceiverBank (block-boundary pure params swaps)."""
 
-    def __init__(self, cfg: ChannelizerBankConfig):
+    def __init__(self, cfg: ChannelizerBankConfig,
+                 audio_wire: str = "f32"):
         self.cfg = cfg
+        assert audio_wire in ("f32", "i16"), audio_wire
+        self.audio_wire = audio_wire
         n = cfg.n_channels
         plan = cfg.plan
         self.plan = plan
@@ -233,7 +236,8 @@ class ChannelizerBank:
         new_state = ChanBankState(chan_hist=chan_hist, nco_phase=phase,
                                   rs_hist=rs_hist, demod=dstate)
         new_state_p, _ = cplx.pack_tree(new_state)
-        return new_state_p, cplx.pack(audio).reshape(-1)
+        return new_state_p, cplx.quantize_audio_wire(
+            cplx.pack(audio).reshape(-1), self.audio_wire)
 
     def step_device(self, x_p):
         """x_p: packed float32 (in_block, 2). Returns packed audio
@@ -244,7 +248,8 @@ class ChannelizerBank:
     def step(self, x):
         """Host convenience: complex in_block -> (n_ch, out_block)
         complex64 audio."""
-        a = np.asarray(self.step_device(cplx.to_device(x)))
+        a = cplx.dequantize_audio_host(
+            np.asarray(self.step_device(cplx.to_device(x))))
         return cplx.unpack(a.reshape(self.n_ch, -1, 2))
 
     # ---------- control plane ----------

@@ -111,9 +111,12 @@ class ReceiverBank:
     applied at the next block boundary).
     """
 
-    def __init__(self, cfg: cfg_mod.PipelineConfig, emit_baseband=False):
+    def __init__(self, cfg: cfg_mod.PipelineConfig, emit_baseband=False,
+                 audio_wire: str = "f32"):
         cfg_mod.validate(cfg)
         self.cfg = cfg
+        assert audio_wire in ("f32", "i16"), audio_wire
+        self.audio_wire = audio_wire
         self.design = ReceiverDesign.from_config(cfg)
         d = self.design
         # A hand-written Pallas mix+decimate kernel was benched against
@@ -217,7 +220,10 @@ class ReceiverBank:
         new_state = BankState(hist=x[-kp1:] if kp1 else state.hist,
                               ch=new_ch)
         new_state_p, _ = cplx.pack_tree(new_state)
-        out = (cplx.pack(audio).reshape(-1),
+        # audio may leave the device as int16 pairs (half the return
+        # transport; the executive dequantizes on the host)
+        out = (cplx.quantize_audio_wire(cplx.pack(audio).reshape(-1),
+                                        self.audio_wire),
                cplx.pack(bb).reshape(-1) if self.emit_baseband else None)
         return new_state_p, out
 
@@ -225,7 +231,8 @@ class ReceiverBank:
         """Host convenience: process one RF block (in_block complex64 on
         the host). Returns host audio (n_rx, out_block) complex64;
         advances internal state."""
-        audio_flat = np.asarray(self.step_device(self.to_device_block(x)))
+        audio_flat = cplx.dequantize_audio_host(
+            np.asarray(self.step_device(self.to_device_block(x))))
         return cplx.unpack(
             audio_flat.reshape(self.n_rx, self.design.out_block, 2))
 

@@ -77,6 +77,32 @@ def dequantize(x_p):
     return x_p
 
 
+# Audio-return wire: the audio leaving the device is half the transport
+# for a many-channel bank; i16 halves it again. Unlike the RF ADC wire
+# (full scale exactly 1.0), demodulated audio legitimately overshoots
+# unity during AGC/filter transients, so the audio wire carries 4x
+# headroom (clip at |x| = 4.0; ~78 dB SNR on unit-level audio).
+AUDIO_WIRE_HEADROOM = 4.0
+
+
+def quantize_audio_wire(xp, wire: str):
+    """Traced: float32 packed audio pairs -> int16 ON DEVICE."""
+    if wire == "f32":
+        return xp
+    s = jnp.float32(32767.0 / AUDIO_WIRE_HEADROOM)
+    return jnp.clip(jnp.round(xp * s), -32767.0, 32767.0) \
+        .astype(jnp.int16)
+
+
+def dequantize_audio_host(q: np.ndarray) -> np.ndarray:
+    """Host: audio wire block -> float32 pairs (inverse of
+    quantize_audio_wire); f32 passes through."""
+    if q.dtype == np.int16:
+        return q.astype(np.float32) \
+            * np.float32(AUDIO_WIRE_HEADROOM / 32767.0)
+    return q
+
+
 def quantize_host(xp: np.ndarray, wire: str) -> np.ndarray:
     """Host: float32 (..., 2) packed pairs -> wire dtype. Full scale is
     |x| = 1.0 (ADC convention); values beyond clip like an ADC would."""

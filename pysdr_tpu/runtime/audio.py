@@ -91,6 +91,84 @@ class NullSink:
         pass
 
 
+class FifoSink:
+    """Loopback routing: raw s16le PCM into a named pipe so other apps
+    (fldigi, wsjtx, digimode decoders) can consume the audio — the
+    functional equivalent of the reference's PulseAudio loopback module
+    (reference start_loopback:1-100). Non-blocking: frames are dropped
+    while no reader is attached (a loopback never back-pressures the
+    radio), and the pipe is (re)opened lazily when a reader appears."""
+
+    def __init__(self, path: str, fs: float, stereo: bool = False):
+        import os
+        import stat
+        self.path, self.fs, self.stereo = path, fs, stereo
+        if not (os.path.exists(path)
+                and stat.S_ISFIFO(os.stat(path).st_mode)):
+            os.mkfifo(path)
+        self._fd = None
+        self.dropped = 0
+
+    def _ensure_open(self) -> bool:
+        import errno
+        import os
+        if self._fd is not None:
+            return True
+        try:
+            self._fd = os.open(self.path, os.O_WRONLY | os.O_NONBLOCK)
+            return True
+        except OSError as e:
+            if e.errno == errno.ENXIO:      # no reader yet
+                return False
+            raise
+
+    def write(self, frames: np.ndarray):
+        import errno
+        import os
+        a = frames
+        if np.iscomplexobj(a):
+            a = np.stack([a.real, a.imag], -1) if self.stereo \
+                else a.real[:, None]
+        elif a.ndim == 1:
+            a = a[:, None]
+        pcm = (np.clip(a, -1, 1) * 32767.0).astype("<i2").tobytes()
+        if not self._ensure_open():
+            self.dropped += len(frames)
+            return
+        try:
+            os.write(self._fd, pcm)
+        except BlockingIOError:
+            self.dropped += len(frames)     # reader too slow: drop
+        except OSError as e:
+            if e.errno == errno.EPIPE:      # reader went away
+                os.close(self._fd)
+                self._fd = None
+                self.dropped += len(frames)
+            else:
+                raise
+
+    def close(self):
+        import os
+        if self._fd is not None:
+            os.close(self._fd)
+            self._fd = None
+
+
+class TeeSink:
+    """Fan one audio stream out to several sinks (wav + fifo, ...)."""
+
+    def __init__(self, *sinks):
+        self.sinks = [s for s in sinks if s is not None]
+
+    def write(self, frames):
+        for s in self.sinks:
+            s.write(frames)
+
+    def close(self):
+        for s in self.sinks:
+            s.close()
+
+
 class CallbackSink:
     def __init__(self, fn: Callable[[np.ndarray], None]):
         self.fn = fn

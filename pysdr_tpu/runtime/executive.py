@@ -152,7 +152,8 @@ class Executive:
             # block; with the one-block pipeline below the compute had a
             # whole iteration to complete, so this pays transfer only
             t0 = time.perf_counter()
-            audio = cplx.unpack(np.asarray(audio_p).reshape(
+            audio = cplx.unpack(cplx.dequantize_audio_host(
+                np.asarray(audio_p)).reshape(
                 self.bank.n_rx, d.out_block, 2))
             self.stage_ms["drain"] += (time.perf_counter() - t0) * 1e3
             for i, ring in enumerate(self.audio_rings):

@@ -286,3 +286,123 @@ def test_direct_sampling_auto_switch_modeling():
     up = app_mod.build_config(app_mod.build_parser().parse_args(
         ["--fc", "7.1", "--fs", "0.512", "--transverter", "125"]))
     assert up.sampling_mode() == "quadrature"
+
+
+def test_source_device_model_gain_and_ppm(tmp_path):
+    """Device-facing source settings with functional effect: RF gain
+    scales the stream; an uncorrected ppm error shifts the received
+    passband by -fc*ppm*1e-6 (reference setupSDR staging + fake-driver
+    surface, utils.py:122-353)."""
+    from pysdr_tpu.io import synth
+    fc = 100e6
+    spec = [synth.SignalSpec(offset_hz=50e3, mode="cw", amplitude=0.1)]
+    s0 = synth.SynthSource(spec, 512e3, fc=fc)
+    s1 = synth.SynthSource(spec, 512e3, fc=fc, rf_gain_db=20.0, ppm=2.0)
+    x0, x1 = s0.read_data(1 << 16), s1.read_data(1 << 16)
+    assert np.isclose(np.std(x1) / np.std(x0), 10.0, rtol=1e-3)
+    f = np.fft.fftfreq(len(x1), 1 / 512e3)
+    pk = f[np.argmax(np.abs(np.fft.fft(x1)))]
+    assert abs(pk - (50e3 - fc * 2e-6)) < 10.0   # tone 200 Hz low
+    # Soapy-shaped setters carry state
+    s1.set_antenna("B")
+    s1.set_gain(3.0)
+    assert s1.get_antenna() == "B" and s1.get_gain() == 3.0
+
+
+def test_fifo_loopback_audio(tmp_path):
+    """--fifo routes demod audio into a named pipe as s16le PCM (the
+    PulseAudio-loopback analogue, start_loopback:1-100): a reader on the
+    pipe receives the 400 Hz tone; with no reader the radio never
+    blocks."""
+    import threading
+
+    fifo = str(tmp_path / "audio.fifo")
+    chunks: list[bytes] = []
+
+    def reader():
+        with open(fifo, "rb") as f:
+            while True:
+                b = f.read(4096)
+                if not b:
+                    return
+                chunks.append(b)
+
+    args = app_mod.build_parser().parse_args(
+        ["--fs", "0.512", "--block", "4096", "--blocks", "8",
+         "--fifo", fifo])
+    a = app_mod.App(args)           # creates the fifo
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+    a.run()
+    t.join(timeout=5)
+    pcm = np.frombuffer(b"".join(chunks), "<i2").astype(np.float32)
+    assert len(pcm) > 4096 * 4
+    seg = pcm[len(pcm) // 2:]
+    sp = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+    pk = np.fft.rfftfreq(len(seg), 1 / 48e3)[5 + np.argmax(sp[5:])]
+    assert abs(pk - 400.0) < 10.0, pk
+
+
+def test_app_mesh_cli(tmp_path):
+    """The --mesh CLI path end-to-end in a subprocess on the 8-virtual-
+    device CPU mesh: a 2x2 stream x ch run demodulates the synth tones
+    into wavs exactly like the serial path."""
+    import subprocess
+    import sys
+
+    prefix = str(tmp_path / "mesh")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    if "xla_force_host_platform_device_count" not in \
+            env.get("XLA_FLAGS", ""):
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                            + " --xla_force_host_platform_device_count=8")
+    out = subprocess.run(
+        [sys.executable, "-m", "pysdr_tpu", "--fs", "0.512",
+         "--block", "4096", "--blocks", "4", "--fc", "0.6", "0.62",
+         "--mesh", "2,2", "--wav", prefix],
+        env=env, capture_output=True, text=True, timeout=300,
+        cwd=os.path.dirname(os.path.dirname(__file__)))
+    assert out.returncode == 0, out.stderr[-1500:]
+    w = wave.open(prefix + "_rx0.wav")
+    d = np.frombuffer(w.readframes(w.getnframes()), np.int16).reshape(
+        -1, w.getnchannels())[:, 0].astype(np.float32)
+    assert len(d) > 4096 * 4     # 4 super-blocks x 2 stream shards
+    seg = d[len(d) // 2:]
+    sp = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+    pk = np.fft.rfftfreq(len(seg), 1.0 / w.getframerate())[
+        5 + np.argmax(sp[5:])]
+    assert abs(pk - 400.0) < 10.0, pk
+
+
+def test_app_channelize_mesh_cli(tmp_path):
+    """--channelize + --mesh: the sharded channelizer from the CLI on the
+    8-virtual-device CPU mesh (2 stream x 4 ch over 8 channels)."""
+    import subprocess
+    import sys
+
+    prefix = str(tmp_path / "chmesh")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    if "xla_force_host_platform_device_count" not in \
+            env.get("XLA_FLAGS", ""):
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                            + " --xla_force_host_platform_device_count=8")
+    out = subprocess.run(
+        [sys.executable, "-m", "pysdr_tpu", "--channelize", "8",
+         "--fs", "0.768", "--fc", "100.0", "--block", "4096",
+         "--blocks", "3", "--mesh", "2,4", "--wav", prefix],
+        env=env, capture_output=True, text=True, timeout=300,
+        cwd=os.path.dirname(os.path.dirname(__file__)))
+    assert out.returncode == 0, out.stderr[-1500:]
+    # synth puts an AM station on every 4th channel; channel 0 carries
+    # a 300 Hz tone
+    w = wave.open(prefix + "_rx0.wav")
+    d = np.frombuffer(w.readframes(w.getnframes()), np.int16).reshape(
+        -1, w.getnchannels())[:, 0].astype(np.float32)
+    assert len(d) > 4096 * 2
+    seg = d[len(d) // 2:]
+    sp = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+    pk = np.fft.rfftfreq(len(seg), 1.0 / w.getframerate())[
+        5 + np.argmax(sp[5:])]
+    assert abs(pk - 300.0) < 10.0, pk

@@ -58,3 +58,41 @@ def test_synth_phase_continuous():
     whole = synth.render([synth.SignalSpec(offset_hz=1e3, mode="tone")],
                          fs, 2000)
     np.testing.assert_allclose(np.concatenate([a, b]), whole, atol=1e-5)
+
+
+def test_compact_int_iq_roundtrip(tmp_path):
+    """CS16/CS8 .dat recordings: DatWriter quantizes complex IQ to
+    interleaved integer pairs; both the Python reader and the C++
+    streamer replay them with matching dequantization (the CS16 path the
+    reference converts at receiver.py:614-617)."""
+    import numpy as np
+    from pysdr_tpu.io import datfile
+    from pysdr_tpu.runtime import native
+
+    rng = np.random.default_rng(5)
+    n = 1 << 14
+    x = (0.4 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+         ).astype(np.complex64)
+    x = np.clip(x.real, -1, 1) + 1j * np.clip(x.imag, -1, 1)
+    for dtype, snr_min in (("int16", 70.0), ("int8", 30.0)):
+        path = str(tmp_path / f"iq_{dtype}.dat")
+        w = datfile.DatWriter(path, fs=1e6, fc=7e6, dtype=dtype)
+        w.save_data(x.astype(np.complex64))
+        w.close()
+        # file really is compact
+        per = {"int16": 4, "int8": 2}[dtype]
+        import os
+        assert os.path.getsize(path) < n * per + 256
+        rd = datfile.DatReader(path)
+        assert rd.srate == 1e6 and rd.nsamples == n
+        y = rd.read_data(n)
+        err = x - y
+        snr = 10 * np.log10(float(np.vdot(x, x).real)
+                            / float(np.vdot(err, err).real))
+        assert snr > snr_min, (dtype, snr)
+        if native.available():
+            ns = native.NativeStreamer(path)
+            yp = ns.read_packed(n)
+            yc = yp[:, 0] + 1j * yp[:, 1]
+            np.testing.assert_allclose(yc, y, atol=1e-6)
+            ns.close()

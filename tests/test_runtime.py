@@ -128,3 +128,26 @@ def test_executive_wire_formats(wire, min_snr_db):
     err = a - b
     snr = 10 * np.log10(float(a @ a) / max(float(err @ err), 1e-30))
     assert snr >= min_snr_db, f"{wire}: {snr:.1f} dB"
+
+
+def test_executive_audio_wire_i16():
+    """Audio leaving the device as int16 pairs (on-device quantization,
+    host dequant in the executive) matches the f32 audio wire at the
+    quantization floor."""
+    ex_f, _ = _mk_exec()
+    cfg = PipelineConfig(
+        fs_in=512e3, fs_out=48e3, out_block=1024, foffset_hz=60e3,
+        receivers=(ReceiverConfig(fc_hz=10e6, mode=Mode.AM,
+                                  agc_enabled=False),))
+    bank_q = ReceiverBank(cfg, audio_wire="i16")
+    src = synth.SynthSource(
+        [synth.SignalSpec(offset_hz=60e3, mode="am", audio_hz=1000.0)],
+        fs=512e3)
+    ex_q = Executive(bank_q, src)
+    ex_f.run(n_blocks=4)
+    ex_q.run(n_blocks=4)
+    a = ex_f.audio_rings[0].pull(ex_f.audio_rings[0].nsamps).real
+    b = ex_q.audio_rings[0].pull(ex_q.audio_rings[0].nsamps).real
+    err = a - b
+    snr = 10 * np.log10(float(a @ a) / max(float(err @ err), 1e-30))
+    assert snr > 55.0, snr
