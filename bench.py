@@ -229,6 +229,19 @@ def bench_e2e_suite():
         print(f"# e2e i8 xl: {out['end_to_end_i8_xl']}",
               file=sys.stderr, flush=True)
         checkpoint(out)
+        # BASELINE config 4 host-to-host: the reference's maximum
+        # advertised envelope (4 RX over 8 MHz) through the full
+        # host->device->host loop on the compact wires
+        path8 = os.path.join(td, "e2e8m.dat")
+        _write_am_dat(path8, fs=8e6, n=1 << 23, offset_hz=750e3)
+        out["end_to_end_bank4"] = _run_e2e(
+            ["--replay", path8, "--fs", "8.0", "--block", "24576",
+             "--fc", "100.0", "100.5", "101.0", "101.5",
+             "--modes", "AM", "NFM", "USB", "CW",
+             "--wire", "i8", "--audio-wire", "i16"], n_blocks=20)
+        print(f"# e2e bank4: {out['end_to_end_bank4']}",
+              file=sys.stderr, flush=True)
+        checkpoint(out)
         # flagship config 5 host-to-host: 64 channels over 12.288 MHz
         path64 = os.path.join(td, "e2e64.dat")
         _write_am_dat(path64, fs=12.288e6, n=1 << 23, offset_hz=96e3)

@@ -66,6 +66,7 @@ PAGE = """<!DOCTYPE html>
  <th>video BW</th><th>AF BW</th><th>gain</th><th>squelch dB</th>
  <th>mute</th><th>level</th></tr></thead><tbody></tbody></table>
 <canvas id="af" width="512" height="160"></canvas>
+<canvas id="tm" width="512" height="60"></canvas>
 <div id="rtty"></div>
 <script>
 const wf=document.getElementById('wf'),psd=document.getElementById('psd');
@@ -154,7 +155,15 @@ async function tick(){
    if(mi&&document.activeElement!==mi)mi.value=r.mode;});
   drawWF(wctx,wf,d.rf.wf_b64,d.rf.rows,d.rf.cols);
   drawPSD(pctx,psd,d.rf.psd,d.rf.spots,f0,f1);
-  if(d.af){drawWF(actx,af,d.af.wf_b64,d.af.rows,d.af.cols);}
+  if(d.af){drawWF(actx,af,d.af.wf_b64,d.af.rows,d.af.cols);
+   if(d.af.time){const tm=document.getElementById('tm'),
+    tctx=tm.getContext('2d');tctx.fillStyle='#111';
+    tctx.fillRect(0,0,tm.width,tm.height);
+    tctx.strokeStyle='#7e7';tctx.beginPath();
+    const mx=Math.max(...d.af.time,1e-6);
+    d.af.time.forEach((v,i)=>{const x=i/d.af.time.length*tm.width,
+     y=tm.height-1-v/mx*(tm.height-2);i?tctx.lineTo(x,y):tctx.moveTo(x,y);});
+    tctx.stroke();}}
   if(d.rtty){const el=document.getElementById('rtty');el.style.display='block';
    const rr=await fetch('rtty.json');const t=await rr.json();
    el.textContent=t.channels.map(c=>
@@ -319,6 +328,10 @@ class WebViewer:
         af_fr = self.display.frames.get(f"AF{sel}")
         if af_fr is not None:
             out["af"] = _wf_b64(af_fr)
+            # time pane: the |x| envelope strip completing the reference
+            # three-box (time + PSD + waterfall, Plotting.py:312-753)
+            out["af"]["time"] = np.asarray(
+                af_fr.time_y, np.float64).round(4).tolist()
         return out
 
     def presets_json(self) -> list:
