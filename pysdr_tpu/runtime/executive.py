@@ -80,7 +80,11 @@ class Executive:
     # ---- control plane: thread-safe, applied at block boundaries ----
     # (the service_commands RPC surface, reference receiver.py:301-399)
 
-    def post(self, method: str, *args):
+    def post(self, method, *args):
+        """Queue a block-boundary mutation: either a bank method name
+        (the service_commands RPC surface) or a CALLABLE applied to the
+        executive itself (runtime mutations like the mid-run recording
+        toggles, reference gui.py:1184-1219)."""
         self._cmd_q.put((method, args))
 
     def _apply_pending(self):
@@ -89,7 +93,10 @@ class Executive:
                 method, args = self._cmd_q.get_nowait()
             except queue.Empty:
                 return
-            getattr(self.bank, method)(*args)
+            if callable(method):
+                method(self, *args)
+            else:
+                getattr(self.bank, method)(*args)
 
     # ---- the hot loop ----
 

@@ -249,6 +249,9 @@ class _Handler(BaseHTTPRequestHandler):
         if url.path == "/presets.json":
             return self._send(json.dumps(view.presets_json()).encode(),
                               "application/json")
+        if url.path == "/record":
+            view.record(bool(qi("iq")), q.get("dir", ["."])[0])
+            return self._send(b"ok", "text/plain")
         self.send_error(404)
 
 
@@ -382,6 +385,29 @@ class WebViewer:
 
     def set_mode(self, name: str, rx: int = 0):
         self.ex.post("set_mode", rx, tables.mode_from_name(name))
+
+    def record(self, on: bool, save_dir: str = "."):
+        """Start/stop raw IQ recording mid-run (the GUI's save-raw
+        toggle, reference gui.py:1184-1219) — applied at a block
+        boundary so no block is half-written."""
+        import os
+
+        from pysdr_tpu.io import datfile
+
+        cfgs, is_rx = self._rx_cfgs()
+        fc = cfgs[0].fc_hz if is_rx else self.ex.bank.cfg.fc_hz
+
+        def apply(ex):
+            if on and ex.raw_writer is None:
+                ex.raw_writer = datfile.DatWriter(
+                    os.path.join(save_dir,
+                                 datfile.timestamped_name("raw_iq")),
+                    fs=ex.bank.design.fs_in, fc=fc)
+            elif not on and ex.raw_writer is not None:
+                w = ex.raw_writer
+                ex.raw_writer = None
+                w.close()
+        self.ex.post(apply)
 
     def vfo_swap(self):
         """Middle-click VFO A/B swap (reference gui.py:1838-1861): RX0 and

@@ -172,3 +172,30 @@ def test_webview_pan_controls_and_presets():
             <= set(ps[0])
     finally:
         a.stop_services()
+
+
+def test_webview_record_toggle(tmp_path):
+    """Mid-run IQ recording start/stop from the viewer (the reference's
+    save-raw GUI toggle, gui.py:1184-1219), applied at block boundaries."""
+    import glob
+
+    a = _mk_app()
+    try:
+        p = a.web.port
+        a.ex.run(n_blocks=2)
+        _get(p, f"/record?iq=1&dir={tmp_path}")
+        a.ex.run(n_blocks=5)            # records blocks 3..5-ish
+        _get(p, "/record?iq=0")
+        a.ex.run(n_blocks=7)
+        files = glob.glob(str(tmp_path / "raw_iq_*.dat"))
+        assert len(files) == 1
+        from pysdr_tpu.io import datfile
+        x, hdr = datfile.read_dat(files[0])
+        d = a.bank.design
+        assert hdr.fs == d.fs_in
+        # the toggles quantize to source-read boundaries, which lead
+        # processing by one prefetched block — so 3 blocks +-1
+        assert 3 * d.in_block <= len(x) <= 4 * d.in_block
+        assert a.ex.raw_writer is None
+    finally:
+        a.stop_services()
