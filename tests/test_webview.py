@@ -199,3 +199,27 @@ def test_webview_record_toggle(tmp_path):
         assert a.ex.raw_writer is None
     finally:
         a.stop_services()
+
+
+def test_webview_channelizer_tune_and_frame():
+    """The viewer against a ChannelizerBank: tuning maps the clicked RF
+    frequency to (nearest channel, fine offset); the frame carries one
+    row per channel."""
+    args = app_mod.build_parser().parse_args(
+        ["--channelize", "8", "--fs", "0.768", "--fc", "100.0",
+         "--block", "4096", "--web", "0", "--psd-every", "1"])
+    a = app_mod.App(args)
+    a.start_services()
+    try:
+        p = a.web.port
+        a.ex.run(n_blocks=2)
+        fr = json.loads(_get(p, "/frame.json"))
+        assert fr["ok"] and fr["n_rx"] == 8 and len(fr["rx"]) == 8
+        # channel centers are fc + fftfreq: channel 1 sits at +96 kHz
+        target = 100e6 + 96e3 + 5e3
+        _get(p, f"/tune?f={target:.0f}")
+        a.ex._apply_pending()
+        ch = a.bank.channel_of(target)
+        assert abs(a.bank._ch_cfgs[ch].fine_offset_hz - 5e3) < 1.0
+    finally:
+        a.stop_services()
