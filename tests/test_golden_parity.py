@@ -27,12 +27,23 @@ import scipy.signal as sig
 from pysdr_tpu import config as cfg_mod
 from pysdr_tpu.models.receiver import ReceiverBank
 from pysdr_tpu.ops import nco
-from pysdr_tpu.tables import (MODE_DEFAULT_AF_BW, NFM_DEVIATION_HZ, Mode)
+from pysdr_tpu.tables import (CW_BFO_HZ, MODE_DEFAULT_AF_BW,
+                              NFM_DEVIATION_HZ, WFM_DEEMPHASIS_S,
+                              WFM_DEVIATION_HZ, Mode)
 
 FS_IN = 512e3
 FS_OUT = 48e3
 OUT_BLOCK = 3072          # -> in_block = 32768 (up/down = 3/32)
 N_BLOCKS = 8
+
+
+def _fs_out(mode: Mode) -> float:
+    # WFM runs at the reference's 192 kHz audio rate (params.py:400-404)
+    return 192e3 if mode == Mode.WFM else FS_OUT
+
+
+def _out_block(mode: Mode) -> int:
+    return 12288 if mode == Mode.WFM else OUT_BLOCK
 OFFSET_HZ = 60e3          # station offset inside the passband
 FC0 = 100e6
 
@@ -54,6 +65,14 @@ def _capture(mode: Mode, rng) -> np.ndarray:
         # legitimately differ on deeply-beating envelopes)
         x = (0.4 * np.exp(2j * np.pi * 1200.0 * t)
              + 0.02 * np.exp(2j * np.pi * 2500.0 * t))
+    elif mode == Mode.CW:
+        x = np.full(plan_in, 0.5, np.complex64)   # keyed-down carrier
+    elif mode == Mode.WFM:
+        wa = 0.5 * np.sin(2 * np.pi * 400.0 * t) \
+            + 0.1 * np.sin(2 * np.pi * 3000.0 * t)
+        phase = (np.cumsum(wa) / FS_IN * 2 * np.pi
+                 * WFM_DEVIATION_HZ / 0.6)
+        x = 0.5 * np.exp(1j * phase)
     else:
         raise ValueError(mode)
     x = x * np.exp(2j * np.pi * OFFSET_HZ * t)
@@ -64,6 +83,7 @@ def _capture(mode: Mode, rng) -> np.ndarray:
 
 def _golden_chain(x: np.ndarray, mode: Mode, up: int, down: int,
                   agc: bool) -> np.ndarray:
+    fs_out = _fs_out(mode)
     """Fully independent scipy receive chain."""
     n = len(x)
     # 1. mix: same snapped LO frequency, exact integer phase (both chains
@@ -98,6 +118,26 @@ def _golden_chain(x: np.ndarray, mode: Mode, up: int, down: int,
         h = hlp * np.exp(2j * np.pi * ctr / FS_OUT * m)
         aud = sig.lfilter(h, [1.0], bb).real
         aud = aud - aud.mean()
+    elif mode == Mode.CW:
+        # BFO beat (same snapped frequency as the bank's audio-rate NCO)
+        kb = nco.snap_freq(CW_BFO_HZ, fs_out)
+        ang_b = 2 * np.pi * ((np.arange(len(bb), dtype=np.int64) * kb)
+                             % nco.DENOM) / nco.DENOM
+        beat = np.real(bb * np.exp(1j * ang_b))
+        h = sig.firwin(255, [CW_BFO_HZ - af_bw / 2, CW_BFO_HZ + af_bw / 2],
+                       fs=fs_out, pass_zero=False)
+        aud = sig.lfilter(h, [1.0], beat)
+        aud = aud - aud.mean()
+    elif mode == Mode.WFM:
+        d = bb[1:] * np.conj(bb[:-1])
+        fm = np.arctan2(d.imag, d.real)
+        aud = fm * fs_out / (2 * np.pi * WFM_DEVIATION_HZ)
+        aud = np.concatenate([[0.0], aud])
+        h = sig.firwin(255, af_bw, fs=fs_out)
+        aud = sig.lfilter(h, [1.0], aud)
+        # 75 us de-emphasis one-pole (tables.WFM_DEEMPHASIS_S)
+        al = 1.0 - np.exp(-1.0 / (fs_out * WFM_DEEMPHASIS_S))
+        aud = sig.lfilter([al], [1.0, al - 1.0], aud)
     if not agc:
         return aud
     # 4. serial one-pole AGC (sigs/agc.m:6-13: y = filter(b, [1, b-1], x)
@@ -114,7 +154,7 @@ def _golden_chain(x: np.ndarray, mode: Mode, up: int, down: int,
 def _bank_chain(x: np.ndarray, mode: Mode,
                 agc: bool) -> tuple[np.ndarray, int, int]:
     cfg = cfg_mod.PipelineConfig(
-        fs_in=FS_IN, fs_out=FS_OUT, out_block=OUT_BLOCK,
+        fs_in=FS_IN, fs_out=_fs_out(mode), out_block=_out_block(mode),
         foffset_hz=OFFSET_HZ,
         receivers=(cfg_mod.ReceiverConfig(fc_hz=FC0, mode=mode,
                                           agc_enabled=agc),))
@@ -173,6 +213,8 @@ def _best_fit_snr_db(ref: np.ndarray, test: np.ndarray,
     (Mode.NFM, False, 25.0),   # BASELINE config 2
     (Mode.USB, False, 25.0),   # config 3 filter-chain waveform parity
     (Mode.USB, True, 20.0),    # BASELINE config 3 (narrow FIR + AGC)
+    (Mode.CW, False, 25.0),    # BFO beat + narrow filter
+    (Mode.WFM, False, 25.0),   # 192 kHz discriminator + de-emphasis
 ])
 def test_golden_chain_parity(mode, agc, bound_db, rng):
     x = _capture(mode, rng)
