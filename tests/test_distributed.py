@@ -50,8 +50,9 @@ def test_two_process_mesh():
     digests = {}
     for out in outs:
         for kind, d in re.findall(
-                r"distributed (rx|chan) ok: .*digest=([0-9.]+)", out):
+                r"distributed (rx|chan|streaming) ok: .*digest=([0-9.]+)",
+                out):
             digests.setdefault(kind, set()).add(d)
-    assert "rx" in digests and "chan" in digests, outs
+    assert {"rx", "chan", "streaming"} <= set(digests), outs
     # every process computed the same global result
     assert all(len(v) == 1 for v in digests.values()), digests
