@@ -387,10 +387,14 @@ class App:
 
         self.rtty = None
         if args.rtty is not None:
+            import collections
+
             from pysdr_tpu.models.rtty import RTTYDecoder, RTTYDesign
             self.rtty = RTTYDecoder(RTTYDesign(fs=d.fs_out))
             self.rtty_rx = int(args.rtty)
             self.rtty_text: list[str] = []
+            # rolling decoder-band waterfall rows for the web RTTY panel
+            self.rtty_wf: collections.deque = collections.deque(maxlen=50)
 
         self.ex = Executive(
             self.bank, self.source, realtime=args.realtime,
@@ -504,14 +508,24 @@ class App:
                   mode=s.mode) for s in table.all())
 
     def _rtty_state(self) -> dict:
-        """Per-channel live state for the web RTTY panel (the reference
-        RTTY window's decoded-text list, rtty.py:92-371)."""
+        """Per-channel live state + decoder-band waterfall for the web
+        RTTY panel (the reference RTTY window's waterfall + decoded-text
+        list, rtty.py:92-371)."""
+        import base64
         d = self.rtty.design
         chans = [{"idx": i, "freq_hz": ch["mark_bin"] * d.bin_hz,
                   "locked": ch.get("snr_db", 0.0) > 0.0,
                   "text": ch.get("text", "")[-80:]}
                  for i, ch in enumerate(self.rtty.channels)]
-        return {"channels": chans, "lines": self.rtty_text[-100:]}
+        out = {"channels": chans, "lines": self.rtty_text[-100:]}
+        if self.rtty_wf:
+            wf = np.stack(list(self.rtty_wf))
+            step = max(1, wf.shape[1] // 1024)
+            wf = wf[:, ::step]
+            out["wf_b64"] = base64.b64encode(wf.tobytes()).decode()
+            out["rows"], out["cols"] = int(wf.shape[0]), int(wf.shape[1])
+            out["bin_hz"] = d.bin_hz * step
+        return out
 
     # per-block tap: display + RTTY feed (demodulate_data taps,
     # receiver.py:256-290)
@@ -536,6 +550,13 @@ class App:
                 if txt:
                     self.rtty_text.append(txt)
                     print(f"RTTY ch{i}: {txt}", flush=True)
+            sp = getattr(self.rtty, "last_spectrum", None)
+            if sp is not None:
+                db = 20.0 * np.log10(np.maximum(sp, 1e-9))
+                top = db.max()
+                self.rtty_wf.append(np.clip(
+                    (db - (top - 50.0)) / 50.0 * 255.0, 0, 255)
+                    .astype(np.uint8))
 
     def start_services(self):
         if self.fldigi_sync is not None:

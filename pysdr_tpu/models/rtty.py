@@ -294,6 +294,9 @@ class RTTYDecoder:
         consumed = n_frames * hop
         self._iq_tail = x[consumed:].copy()
         mags = self._fb(cplx.pack(x))
+        # spectrum tap for the live RTTY waterfall (the reference RTTY
+        # window's top pane, rtty.py:92-371): mean |X| over this block
+        self.last_spectrum = np.asarray(mags).mean(axis=0)
         self._n_blocks += 1
         if not self.channels:
             self.detect_channels(np.asarray(mags))

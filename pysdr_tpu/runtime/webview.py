@@ -67,6 +67,7 @@ PAGE = """<!DOCTYPE html>
  <th>mute</th><th>level</th></tr></thead><tbody></tbody></table>
 <canvas id="af" width="512" height="160"></canvas>
 <canvas id="tm" width="512" height="60"></canvas>
+<canvas id="rwf" width="1024" height="100" style="display:none"></canvas>
 <div id="rtty"></div>
 <script>
 const wf=document.getElementById('wf'),psd=document.getElementById('psd');
@@ -166,6 +167,9 @@ async function tick(){
     tctx.stroke();}}
   if(d.rtty){const el=document.getElementById('rtty');el.style.display='block';
    const rr=await fetch('rtty.json');const t=await rr.json();
+   if(t.wf_b64){const rw=document.getElementById('rwf');
+    rw.style.display='block';
+    drawWF(rw.getContext('2d'),rw,t.wf_b64,t.rows,t.cols);}
    el.textContent=t.channels.map(c=>
      `ch${c.idx} ${c.freq_hz.toFixed(0)} Hz ${c.locked?'*':' '} ${c.text}`
     ).join('\\n');el.scrollTop=el.scrollHeight;}

@@ -137,12 +137,16 @@ def test_webview_udp_spots_render_and_snap():
 
 
 def test_webview_rtty_panel():
-    """The RTTY endpoint exposes per-channel decoded text live
-    (reference RTTY window, rtty.py:92-371)."""
-    a = _mk_app(["--rtty", "0"])
+    """The RTTY endpoint exposes per-channel decoded text AND the
+    decoder-band waterfall live (reference RTTY window, rtty.py:92-371)."""
+    a = _mk_app(["--rtty", "0", "--mode", "RTTY"])
     try:
         fr = json.loads(_get(a.web.port, "/frame.json"))
         assert fr["ok"] is False or fr["rtty"] is True
+        # stream a few blocks so the decoder taps its spectrum
+        a.ex.run(n_blocks=6)
+        t0 = json.loads(_get(a.web.port, "/rtty.json"))
+        assert "wf_b64" in t0 and t0["rows"] >= 1 and t0["cols"] > 64
         a.rtty.channels = [
             {"mark_bin": 40, "figs": False, "text": "CQ CQ DE W1AW",
              "snr_db": 12.0, "idle_scans": 0}]
