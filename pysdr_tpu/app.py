@@ -198,6 +198,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--profile", action="store_true",
                     help="print per-block timing vs the frame budget "
                          "(profiler.py:27-46)")
+    ap.add_argument("--jax-trace", type=str, default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of the run into "
+                         "DIR (open with TensorBoard / Perfetto; the "
+                         "trace hook points the reference comments out, "
+                         "pySDR.py:170-171)")
     return ap
 
 
@@ -620,10 +625,16 @@ class App:
                     os.path.join(self.args.png_dir, f"{tag}.png"), tag)
 
     def run(self) -> int:
+        import contextlib
+
+        from pysdr_tpu.runtime.profiler import jax_trace
+        trace = (jax_trace(self.args.jax_trace) if self.args.jax_trace
+                 else contextlib.nullcontext())
         self.start_services()
         try:
-            prof = self.ex.run(n_blocks=self.args.blocks,
-                               duration_s=self.args.duration)
+            with trace:
+                prof = self.ex.run(n_blocks=self.args.blocks,
+                                   duration_s=self.args.duration)
         finally:
             self.stop_services()
         if self.args.profile:

@@ -83,3 +83,11 @@ def sweep_table(fs_list=None, fs_out_list=(48e3, 96e3, 192e3)):
             u, d = up_dn(fs, fo)
             rows.append((fs, fo, u, d))
     return rows
+
+
+if __name__ == "__main__":
+    # offline rate-plan table, like the reference's srates.py tool
+    # (srates.py:28-74): python -m pysdr_tpu.rates
+    print(f"{'fs_in':>12} {'fs_out':>9} {'up':>5} {'down':>6}")
+    for fs, fo, u, d in sweep_table():
+        print(f"{fs:12.0f} {fo:9.0f} {u:5d} {d:6d}")
