@@ -485,7 +485,8 @@ class App:
             self.web = WebViewer(
                 self.display, self.ex, port=args.web,
                 rtty_state=self._rtty_state if self.rtty else None,
-                presets_file=args.presets_file)
+                presets_file=args.presets_file,
+                save_iq_dtype=args.save_iq_dtype)
             print(f"live viewer: http://127.0.0.1:{self.web.port}/",
                   flush=True)
         self.memmon = None

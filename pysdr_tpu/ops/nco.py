@@ -74,9 +74,16 @@ def phase_indices(k, p0, n: int):
 
 
 def advance(k, p0, n: int):
-    """New phase index after n samples: (p0 + k*n) mod DENOM, exactly."""
+    """New phase index after n samples: (p0 + k*n) mod DENOM, exactly.
+
+    Valid for arbitrarily large n (streaming super-blocks pass whole
+    n_stream*segment totals here): k*n ≡ k*(n mod DENOM) (mod DENOM), so n
+    is reduced first and the 3-level split then keeps every int32 product
+    below 2^30 (q2 < 2^6 after the reduction).
+    """
     k = jnp.asarray(k, jnp.int32)
     p0 = jnp.asarray(p0, jnp.int32)
+    n = n % DENOM
     r = n % _L1
     q1 = (n // _L1) % (_L2 // _L1)
     q2 = n // _L2

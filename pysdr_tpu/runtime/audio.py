@@ -108,6 +108,14 @@ class FifoSink:
             os.mkfifo(path)
         self._fd = None
         self.dropped = 0
+        # Unwritten tail carried between calls: pipe writes larger than
+        # PIPE_BUF are not atomic, so os.write can return a short (even
+        # odd-byte) count. Losing that tail would byte-desync the s16le
+        # stream for every downstream decoder, so it is buffered and
+        # flushed ahead of the next block (capped; overflow drops whole
+        # frames only, which keeps the stream frame-aligned).
+        self._pending = b""
+        self._max_pending = 1 << 18      # 256 KiB ≈ 2.7 s mono @ 48 kHz
 
     def _ensure_open(self) -> bool:
         import errno
@@ -132,20 +140,32 @@ class FifoSink:
         elif a.ndim == 1:
             a = a[:, None]
         pcm = (np.clip(a, -1, 1) * 32767.0).astype("<i2").tobytes()
+        frame_bytes = 4 if self.stereo else 2
         if not self._ensure_open():
             self.dropped += len(frames)
             return
+        buf = self._pending + pcm
         try:
-            os.write(self._fd, pcm)
+            n = os.write(self._fd, buf)
         except BlockingIOError:
-            self.dropped += len(frames)     # reader too slow: drop
+            n = 0
         except OSError as e:
             if e.errno == errno.EPIPE:      # reader went away
                 os.close(self._fd)
                 self._fd = None
+                self._pending = b""
                 self.dropped += len(frames)
-            else:
-                raise
+                return
+            raise
+        rest = buf[n:]
+        if len(rest) > self._max_pending:
+            # Reader persistently slow: shed the newest data in whole
+            # frames so delivered bytes stay a multiple of the frame size.
+            drop = len(rest) - self._max_pending
+            drop += (-drop) % frame_bytes
+            rest = rest[:len(rest) - drop]
+            self.dropped += drop // frame_bytes
+        self._pending = rest
 
     def close(self):
         import os

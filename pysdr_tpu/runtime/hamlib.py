@@ -53,6 +53,17 @@ class RigState:
                        "MONITOR_GAIN": 0.0}
         self.ant = 0
         self.rit_hz = 0.0
+        # Authoritative dial frequency. Retunes posted via executive.post
+        # only land at the next block boundary, so deriving the dial from
+        # the bank config between a set_freq/set_rit and its application
+        # would combine a stale fc with the new RIT and tune wrong. The
+        # dial is therefore updated synchronously here; _known_fc holds
+        # every bank fc that is consistent with it (the pre-post value and
+        # each posted target), and get_freq resyncs from the bank only
+        # when fc moved to a value we never posted (an external retune
+        # from the viewer/hopper).
+        self.dial_hz: float | None = None
+        self._known_fc: set = set()
 
     @property
     def _cfg(self):
@@ -61,17 +72,28 @@ class RigState:
     def get_freq(self) -> float:
         # displayed (dial) frequency excludes the clarifier shift,
         # like a real rig's RIT
-        return self._cfg.fc_hz - self.rit_hz
+        fc = self._cfg.fc_hz
+        if self.dial_hz is None or fc not in self._known_fc:
+            self.dial_hz = fc - self.rit_hz
+            self._known_fc = {fc}
+        return self.dial_hz
+
+    def _post_retune(self, target_hz: float):
+        self._known_fc.add(self._cfg.fc_hz)
+        self._known_fc.add(target_hz)
+        self.ex.post("retune", self.i, target_hz)
 
     def set_freq(self, hz: float):
-        self.ex.post("retune", self.i, hz + self.rit_hz)
+        self.get_freq()          # seed _known_fc before mutating the dial
+        self.dial_hz = hz
+        self._post_retune(hz + self.rit_hz)
 
     def set_rit(self, hz: float):
         """Clarifier/RIT: shift the RX by hz without moving the dial
         (reference read_clarifier/rig_retune sync, gui.py:1402-1483)."""
         dial = self.get_freq()
         self.rit_hz = hz
-        self.ex.post("retune", self.i, dial + hz)
+        self._post_retune(dial + hz)
 
     def get_mode(self):
         m = self._cfg.mode

@@ -244,11 +244,13 @@ class _Handler(BaseHTTPRequestHandler):
             return self._send(b"ok", "text/plain")
         if url.path == "/display":
             # pan-adaptor controls (reference gui.py:521-598): DR and
-            # peak picking are pure value swaps on the display pipeline
-            if "dr" in q:
-                view.display.rf.cfg.pan_dr_db = qf("dr")
-            if "peaks" in q:
-                view.display.rf.cfg.use_peaks = bool(qi("peaks"))
+            # peak picking are pure value swaps on the display pipeline,
+            # applied at a block boundary via the command queue like every
+            # other control (never mutated from the HTTP thread while
+            # _on_block reads them)
+            dr = qf("dr") if "dr" in q else None
+            pk = bool(qi("peaks")) if "peaks" in q else None
+            view.set_pan(dr=dr, peaks=pk)
             return self._send(b"ok", "text/plain")
         if url.path == "/presets.json":
             return self._send(json.dumps(view.presets_json()).encode(),
@@ -277,11 +279,13 @@ class WebViewer:
 
     def __init__(self, display, executive, port: int = 8080,
                  host: str = "127.0.0.1", rtty_state=None,
-                 presets_file: str | None = None):
+                 presets_file: str | None = None,
+                 save_iq_dtype: str = "complex64"):
         self.display = display
         self.ex = executive
         self.rtty_state = rtty_state   # callable -> dict | None
         self.presets_file = presets_file
+        self.save_iq_dtype = save_iq_dtype   # honors CLI --save-iq-dtype
         self._presets = None
         self.server = ThreadingHTTPServer((host, port), _Handler)
         self.server.daemon_threads = True
@@ -390,6 +394,19 @@ class WebViewer:
     def set_mode(self, name: str, rx: int = 0):
         self.ex.post("set_mode", rx, tables.mode_from_name(name))
 
+    def set_pan(self, dr: float | None = None, peaks: bool | None = None):
+        """Pan-adaptor DR / peak-picking swaps, queued to the block
+        boundary (the one control that previously bypassed the
+        command-queue discipline)."""
+        rf_cfg = self.display.rf.cfg
+
+        def apply(ex):
+            if dr is not None:
+                rf_cfg.pan_dr_db = dr
+            if peaks is not None:
+                rf_cfg.use_peaks = peaks
+        self.ex.post(apply)
+
     def record(self, on: bool, save_dir: str = "."):
         """Start/stop raw IQ recording mid-run (the GUI's save-raw
         toggle, reference gui.py:1184-1219) — applied at a block
@@ -406,7 +423,8 @@ class WebViewer:
                 ex.raw_writer = datfile.DatWriter(
                     os.path.join(save_dir,
                                  datfile.timestamped_name("raw_iq")),
-                    fs=ex.bank.design.fs_in, fc=fc)
+                    fs=ex.bank.design.fs_in, fc=fc,
+                    dtype=self.save_iq_dtype)
             elif not on and ex.raw_writer is not None:
                 w = ex.raw_writer
                 ex.raw_writer = None

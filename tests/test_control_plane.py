@@ -178,3 +178,36 @@ def test_rig_clarifier_rit_roundtrip():
         rc.close()
     finally:
         srv.stop()
+
+
+def test_rit_then_freq_before_block_boundary():
+    """ADVICE r3: back-to-back F/J commands inside one block used to
+    compute the dial from the not-yet-applied bank config (retunes land
+    only at block boundaries) and tune to the wrong frequency. The dial
+    is now authoritative in RigState and updated synchronously."""
+    ex, bank = _mk_exec()
+    srv = hamlib.HamlibServer(ex, 0, port=0).start()
+    try:
+        port = srv.server.server_address[1]
+        rc = rig.RigConnection(port=port)
+        # F then J with NO _apply_pending in between (same block)
+        rc.set_freq(14.2e6)
+        rc.set_clarifier(100.0)
+        ex._apply_pending()
+        assert bank._rx_cfgs[0].fc_hz == 14.2e6 + 100.0
+        assert rc.get_freq() == 14.2e6
+        # two J commands inside one block: second derives from the same
+        # authoritative dial, not the stale cfg
+        rc.set_clarifier(-50.0)
+        rc.set_clarifier(25.0)
+        ex._apply_pending()
+        assert bank._rx_cfgs[0].fc_hz == 14.2e6 + 25.0
+        assert rc.get_freq() == 14.2e6
+        # an EXTERNAL retune (viewer/hopper posts straight to the bank)
+        # resyncs the dial on the next read
+        ex.post("retune", 0, 7.0e6 + 25.0)
+        ex._apply_pending()
+        assert rc.get_freq() == 7.0e6
+        rc.close()
+    finally:
+        srv.stop()

@@ -30,6 +30,18 @@ def test_advance_matches_indices():
         p = p2
 
 
+def test_advance_superblock_totals():
+    """Streaming processors pass whole super-block totals (n_stream*seg)
+    to advance(); these exceed the 3-level split's old 2^24 bound. The
+    mod-DENOM pre-reduction must keep it exact for arbitrary n
+    (ADVICE r3: int32 overflow silently corrupted phase for n >= ~2^26)."""
+    k = nco.DENOM - 7           # worst-case numerator
+    p = 12345
+    for n in (1 << 26, (1 << 28) + 999983, (1 << 31) + 17, 10**12 + 3):
+        got = int(nco.advance(k, p, n))
+        assert got == (p + k * n) % nco.DENOM, n
+
+
 def test_mix_down_shifts_tone_to_dc():
     fs = 2.048e6
     f = 250e3

@@ -151,3 +151,39 @@ def test_executive_audio_wire_i16():
     err = a - b
     snr = 10 * np.log10(float(a @ a) / max(float(err @ err), 1e-30))
     assert snr > 55.0, snr
+
+
+def test_fifo_sink_short_write_keeps_alignment(tmp_path):
+    """ADVICE r3 (medium): pipe writes above PIPE_BUF are not atomic —
+    os.write can return a short, even odd-byte, count. The unwritten tail
+    must be carried to the next call so the s16le stream never
+    byte-desyncs for downstream decoders."""
+    import os
+
+    from pysdr_tpu.runtime.audio import FifoSink
+
+    fifo = str(tmp_path / "t.fifo")
+    sink = FifoSink(fifo, 48e3, stereo=False)
+    rd = os.open(fifo, os.O_RDONLY | os.O_NONBLOCK)
+    try:
+        # 50k mono frames = 100 KB, well over the 64 KiB pipe capacity
+        # with no reader draining -> guaranteed short write
+        frames = np.linspace(-0.5, 0.5, 50000).astype(np.float32)
+        sink.write(frames)
+        assert len(sink._pending) > 0          # tail retained, not lost
+        first = os.read(rd, 1 << 20)
+        # next write flushes the pending tail ahead of the new block
+        sink.write(np.zeros(1000, np.float32))
+        second = os.read(rd, 1 << 20)
+        stream = first + second + sink._pending
+        assert len(stream) % 2 == 0
+        got = np.frombuffer(stream, "<i2")
+        ref = (np.clip(np.concatenate([frames,
+                                       np.zeros(1000, np.float32)]),
+                       -1, 1) * 32767.0).astype("<i2")
+        # exact contiguous prefix: nothing dropped, nothing reordered
+        assert sink.dropped == 0
+        np.testing.assert_array_equal(got, ref[:len(got)])
+    finally:
+        os.close(rd)
+        sink.close()

@@ -168,6 +168,9 @@ def test_webview_pan_controls_and_presets():
     try:
         p = a.web.port
         _get(p, "/display?dr=40&peaks=0")
+        # pan changes queue through executive.post and land at the next
+        # block boundary (no direct mutation from the HTTP thread)
+        a.ex._apply_pending()
         assert a.display.rf.cfg.pan_dr_db == 40.0
         assert a.display.rf.cfg.use_peaks is False
         a.ex.run(n_blocks=2)        # pipeline still runs post-change
