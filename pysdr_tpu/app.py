@@ -120,10 +120,13 @@ def build_parser() -> argparse.ArgumentParser:
                          "sample pairs ship 2x/4x fewer bytes and are "
                          "dequantized on device (i16 is lossless for any "
                          "real SDR front-end; f32 = exact replay)")
-    ap.add_argument("--audio-wire", choices=["f32", "i16"], default="f32",
+    ap.add_argument("--audio-wire", choices=["f32", "i16", "i8"],
+                    default="f32",
                     help="device->host audio format: i16 halves the "
-                         "return transport (~90 dB SNR; the dominant "
-                         "byte stream for many-channel banks)")
+                         "return transport (~78 dB SNR), i8 quarters it "
+                         "(mu-law, ~37 dB — monitoring quality; the "
+                         "audio return is the dominant byte stream for "
+                         "many-channel banks)")
     # -- recording taps (reference -save_iq/-save_demod; params.py:136-141)
     ap.add_argument("--save-iq", action="store_true",
                     help="record raw RF IQ to a timestamped .dat")
@@ -357,13 +360,9 @@ class App:
                                                     build_mesh)
             s, _, c = args.mesh.partition(",")
             mesh = build_mesh(int(s), int(c or 1))
-            if args.audio_wire != "f32":
-                print("--audio-wire is f32-only with --mesh; ignoring",
-                      file=sys.stderr)
-            if args.rtty is not None:
-                print("--rtty is not available with --mesh; ignoring",
-                      file=sys.stderr)
-                args.rtty = None
+            # the sharded processors quantize the audio wire inside each
+            # shard and emit the RTTY baseband tap, so --audio-wire and
+            # --rtty compose with --mesh (both were r3 exclusions)
             self.bank = (ShardedChannelizerBank(self.bank, mesh)
                          if args.channelize else
                          ShardedStreamBank(self.bank, mesh))

@@ -113,7 +113,7 @@ class ChannelizerBank:
     def __init__(self, cfg: ChannelizerBankConfig,
                  audio_wire: str = "f32"):
         self.cfg = cfg
-        assert audio_wire in ("f32", "i16"), audio_wire
+        assert audio_wire in ("f32", "i16", "i8"), audio_wire
         self.audio_wire = audio_wire
         n = cfg.n_channels
         plan = cfg.plan

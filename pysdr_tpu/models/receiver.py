@@ -115,7 +115,7 @@ class ReceiverBank:
                  audio_wire: str = "f32"):
         cfg_mod.validate(cfg)
         self.cfg = cfg
-        assert audio_wire in ("f32", "i16"), audio_wire
+        assert audio_wire in ("f32", "i16", "i8"), audio_wire
         self.audio_wire = audio_wire
         self.design = ReceiverDesign.from_config(cfg)
         d = self.design

@@ -78,17 +78,38 @@ def dequantize(x_p):
 
 
 # Audio-return wire: the audio leaving the device is half the transport
-# for a many-channel bank; i16 halves it again. Unlike the RF ADC wire
-# (full scale exactly 1.0), demodulated audio legitimately overshoots
-# unity during AGC/filter transients, so the audio wire carries 4x
-# headroom (clip at |x| = 4.0; ~78 dB SNR on unit-level audio).
+# for a many-channel bank; i16 halves it again and i8 quarters it. Unlike
+# the RF ADC wire (full scale exactly 1.0), demodulated audio
+# legitimately overshoots unity during AGC/filter transients, so the
+# audio wire carries 4x headroom (clip at |x| = 4.0):
+#   * i16: linear, ~78 dB SNR on unit-level audio;
+#   * i8: mu-law companded (mu=255, the G.711 law) — linear i8 under the
+#     4x headroom would leave only ~32 dB and fall off 6 dB per halving
+#     of level, while mu-law holds a level-independent ~37 dB over the
+#     whole AGC range: monitoring quality, the point of the chan64
+#     many-channel return (decode is a 256-entry host LUT, ~free).
 AUDIO_WIRE_HEADROOM = 4.0
+_MU = 255.0
+
+
+def _mulaw_decode_lut() -> np.ndarray:
+    q = np.arange(-128, 128, dtype=np.float32) / 127.0
+    x = np.sign(q) * ((1.0 + _MU) ** np.abs(np.clip(q, -1, 1)) - 1.0) / _MU
+    return (x * AUDIO_WIRE_HEADROOM).astype(np.float32)
+
+
+_MULAW_LUT = _mulaw_decode_lut()
 
 
 def quantize_audio_wire(xp, wire: str):
-    """Traced: float32 packed audio pairs -> int16 ON DEVICE."""
+    """Traced: float32 packed audio pairs -> int16/int8 ON DEVICE."""
     if wire == "f32":
         return xp
+    if wire == "i8":
+        y = jnp.clip(xp * jnp.float32(1.0 / AUDIO_WIRE_HEADROOM), -1.0, 1.0)
+        c = jnp.sign(y) * jnp.log1p(_MU * jnp.abs(y)) \
+            * jnp.float32(1.0 / np.log1p(_MU))
+        return jnp.round(c * 127.0).astype(jnp.int8)
     s = jnp.float32(32767.0 / AUDIO_WIRE_HEADROOM)
     return jnp.clip(jnp.round(xp * s), -32767.0, 32767.0) \
         .astype(jnp.int16)
@@ -97,6 +118,8 @@ def quantize_audio_wire(xp, wire: str):
 def dequantize_audio_host(q: np.ndarray) -> np.ndarray:
     """Host: audio wire block -> float32 pairs (inverse of
     quantize_audio_wire); f32 passes through."""
+    if q.dtype == np.int8:
+        return _MULAW_LUT[q.astype(np.int16) + 128]
     if q.dtype == np.int16:
         return q.astype(np.float32) \
             * np.float32(AUDIO_WIRE_HEADROOM / 32767.0)

@@ -72,6 +72,9 @@ class ShardedStreamBank:
         self._tail = jax.numpy.zeros((self.halo, 2), jax.numpy.float32)
         self._nb = jax.numpy.zeros((bank.n_rx,), jax.numpy.int32)
         self._bb = jax.numpy.zeros((bank.n_rx,), jax.numpy.int32)
+        # carried per-channel demod recurrence state (AGC env, squelch
+        # latch, mute hold, ...) seeded from the serial bank's init tree
+        self._dstate = bank.state.ch.demod
         self._last_bb = None
 
     @property
@@ -80,9 +83,13 @@ class ShardedStreamBank:
 
     def step_device(self, x_p):
         """x_p: packed (S*seg, 2) float32 OR an int8/int16 wire block
-        (dequantized on device before the halo exchange)."""
-        audio, self._nb, self._bb, self._tail = self._proc(
-            x_p, self.bank.params, self._tail, self._nb, self._bb)
+        (dequantized on device before the halo exchange). Audio returns
+        in the bank's audio-wire dtype; the per-channel baseband lands in
+        _last_bb when the bank emits it (the RTTY tap)."""
+        (audio, self._nb, self._bb, self._tail, self._dstate,
+         self._last_bb) = self._proc(
+            x_p, self.bank.params, self._tail, self._nb, self._bb,
+            self._dstate)
         return audio
 
     # control plane: delegate everything else (set_mode, retune,
@@ -125,6 +132,8 @@ class ShardedChannelizerBank:
         self._tail = jnp.zeros((self.halo, 2), jnp.float32)
         self._nb = jnp.zeros((cb.n_ch,), jnp.int32)
         self._bb = jnp.zeros((cb.n_ch,), jnp.int32)
+        # carried per-channel demod recurrence state (see stream.py)
+        self._dstate = cb.state.demod
         self._last_bb = None
 
     @property
@@ -132,9 +141,9 @@ class ShardedChannelizerBank:
         return self.bank.n_ch
 
     def step_device(self, x_p):
-        audio, self._nb, self._bb, self._tail = self._proc(
+        audio, self._nb, self._bb, self._tail, self._dstate = self._proc(
             x_p, self.bank.params, self._w_re, self._w_im,
-            self._tail, self._nb, self._bb)
+            self._tail, self._nb, self._bb, self._dstate)
         return audio
 
     def __getattr__(self, name):

@@ -177,7 +177,8 @@ def make_channelizer_stream_processor(cb: ChannelizerBank, mesh: Mesh,
 
 def make_channelizer_streaming_processor(cb: ChannelizerBank, mesh: Mesh,
                                          seg: int,
-                                         halo: int | None = None):
+                                         halo: int | None = None,
+                                         audio_wire: str | None = None):
     """State-continuous repeated-call form of the 2-D stream x ch
     channelizer (the streaming analogue of
     make_channelizer_stream_processor — see parallel/stream.py
@@ -185,11 +186,20 @@ def make_channelizer_streaming_processor(cb: ChannelizerBank, mesh: Mesh,
     shard 0's halo comes from the previous super-block's RF tail, and
     per-channel fine-NCO/BFO phase bases advance across calls.
 
+    Carries the per-channel demod recurrence state (AGC envelope,
+    squelch latch, mute hold — memories longer than any affordable halo)
+    from the last stream shard across calls, and applies the audio wire
+    (i16/i8 mu-law) inside each shard so the sharded path's return
+    transport ships the small ints too (parallel/stream.py rationale).
+
     Returns (process, halo) with
-      process(x, params, w_re, w_im, tail_prev, nco_base, bfo_base)
-        -> (audio, new_nco_base, new_bfo_base, new_tail)
-    x: float32 (S*seg, 2) packed P('stream'); audio: float32
-    (n_ch, S*aseg, 2) P('ch', 'stream').
+      process(x, params, w_re, w_im, tail_prev, nco_base, bfo_base,
+              dstate) -> (audio, new_nco_base, new_bfo_base, new_tail,
+                          new_dstate)
+    x: float32 (S*seg, 2) packed P('stream'); audio:
+    (n_ch, S*aseg, 2) P('ch', 'stream') in the wire dtype; dstate:
+    packed DemodState pytree with leading axis n_ch (seed with
+    cb.state.demod).
     """
     import jax.numpy as jnp
 
@@ -206,9 +216,11 @@ def make_channelizer_streaming_processor(cb: ChannelizerBank, mesh: Mesh,
     aseg = seg * cb.plan.up // (cb.plan.down * n)
     ahalo = H * cb.plan.up // (cb.plan.down * n)
     m_seg, m_h = seg // n, H // n
+    wire = cb.audio_wire if audio_wire is None else audio_wire
+    _, dmask = cplx.pack_tree(demod_ops_mod.init_state(cb.demod_design))
 
     def shard_fn(x_local, params, w_re_l, w_im_l, tail_prev,
-                 nco_base, bfo_base):
+                 nco_base, bfo_base, dstate_p):
         # wire dequant precedes the halo exchange (parallel/stream.py)
         x_local = cplx.dequantize(x_local)
         tail = x_local[-H:]
@@ -222,7 +234,7 @@ def make_channelizer_streaming_processor(cb: ChannelizerBank, mesh: Mesh,
         v, _ = chan_ops.branch_filter(xe, hist0, cb.branch_weights, n)
         y = chan_ops.channel_transform(v, w_re_l, w_im_l)
 
-        def one(stream_col, pr, nb, bb):
+        def one(stream_col, pr, nb, bb, dstp):
             k = pr.nco_k
             k_seg = nco_ops.advance(k, 0, m_seg)
             k_h = nco_ops.advance(k, 0, m_h)
@@ -240,30 +252,38 @@ def make_channelizer_streaming_processor(cb: ChannelizerBank, mesh: Mesh,
             bk_h = nco_ops.advance(bk, 0, ahalo)
             b0 = (bb + (bk_seg * s) % nco_ops.DENOM - bk_h
                   + nco_ops.DENOM) % nco_ops.DENOM
-            dst = demod_ops_mod.init_state(cb.demod_design)._replace(
-                bfo_phase=b0)
-            audio, _ = demod_ops_mod.demod_block(
+            dst = cplx.unpack_tree(dstp, dmask)._replace(bfo_phase=b0)
+            audio, new_dst = demod_ops_mod.demod_block(
                 bb_sig, dst, pr.demod, cb.demod_design,
                 cb.carrier_taps, cb.pilot_taps)
-            return cplx.pack(audio[ahalo:])
+            new_dp, _ = cplx.pack_tree(new_dst)
+            return cplx.pack(audio[ahalo:]), new_dp
 
-        return jax.vmap(one)(y.T, params, nco_base, bfo_base)
+        audio, dnew = jax.vmap(one)(y.T, params, nco_base, bfo_base,
+                                    dstate_p)
+        return (cplx.quantize_audio_wire(audio, wire),
+                jax.tree.map(lambda leaf: leaf[None], dnew))
 
     param_specs = jax.tree.map(lambda _: P("ch"), cb.params)
+    dstate_spec = jax.tree.map(lambda _: P("ch"), dmask)
     in_specs = (P("stream"), param_specs, P(None, "ch"), P(None, "ch"),
-                P(), P("ch"), P("ch"))
-    out_specs = P("ch", "stream")
+                P(), P("ch"), P("ch"), dstate_spec)
+    out_specs = (P("ch", "stream"),
+                 jax.tree.map(lambda _: P("stream", "ch"), dmask))
     sharded = jax.shard_map(shard_fn, mesh=mesh, in_specs=in_specs,
                             out_specs=out_specs, check_vma=False)
     total_ch_in = n_stream * m_seg       # channel-rate samples per call
     total_out = n_stream * aseg
 
-    def proc_impl(x, params, w_re, w_im, tail_prev, nco_base, bfo_base):
-        audio = sharded(x, params, w_re, w_im, tail_prev, nco_base,
-                        bfo_base)
+    def proc_impl(x, params, w_re, w_im, tail_prev, nco_base, bfo_base,
+                  dstate):
+        audio, state_all = sharded(x, params, w_re, w_im, tail_prev,
+                                   nco_base, bfo_base, dstate)
+        new_dstate = jax.tree.map(lambda leaf: leaf[-1], state_all)
         new_nb = nco_ops.advance(params.nco_k, nco_base, total_ch_in)
         new_bb = nco_ops.advance(params.demod.bfo_k, bfo_base, total_out)
-        return audio, new_nb, new_bb, cplx.dequantize(x[-H:])
+        return (audio, new_nb, new_bb, cplx.dequantize(x[-H:]),
+                new_dstate)
 
     return jax.jit(proc_impl), H
 

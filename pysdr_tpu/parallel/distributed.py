@@ -118,13 +118,15 @@ def demo_streaming(n_stream: int):
     tail = jnp.zeros((halo, 2), jnp.float32)
     nb = jnp.zeros((bank.n_rx,), jnp.int32)
     bb = jnp.zeros((bank.n_rx,), jnp.int32)
+    dstate = bank.state.ch.demod
     digest = 0.0
     for call in range(2):
         t = (call * n_total + np.arange(n_total)) / d.fs_in
         x = (0.5 * np.exp(2j * np.pi * 60e3 * t)).astype(np.complex64)
         xp = jax.device_put(cplx.pack(x),
                             NamedSharding(mesh, P("stream")))
-        audio, nb, bb, tail = proc(xp, bank.params, tail, nb, bb)
+        audio, nb, bb, tail, dstate, _ = proc(
+            xp, bank.params, tail, nb, bb, dstate)
         digest += float(jnp.sum(jnp.abs(audio)))
     print(f"distributed streaming ok: pid={jax.process_index()} "
           f"mesh={dict(mesh.shape)} halo={halo} digest={digest:.4f}",

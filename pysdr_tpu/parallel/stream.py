@@ -122,7 +122,9 @@ def make_stream_processor(bank: rx_mod.ReceiverBank, mesh: Mesh,
 
 
 def make_streaming_processor(bank: rx_mod.ReceiverBank, mesh: Mesh,
-                             seg: int, halo: int | None = None):
+                             seg: int, halo: int | None = None,
+                             audio_wire: str | None = None,
+                             emit_bb: bool | None = None):
     """State-continuous repeated-call form of the sharded processor.
 
     Where make_stream_processor is one-shot (every call re-warms from a
@@ -136,15 +138,33 @@ def make_streaming_processor(bank: rx_mod.ReceiverBank, mesh: Mesh,
         signal;
       * per-channel NCO/BFO phase bases advance across calls, so LO and
         beat phases are continuous over arbitrarily long streams (and
-        across retunes, matching the serial bank's phase behavior).
+        across retunes, matching the serial bank's phase behavior);
+      * the full per-channel demod recurrence state (AGC envelope,
+        squelch latch + envelopes, auto-mute hold, DC blocker,
+        de-emphasis) from the LAST stream shard seeds every shard's next
+        call. The halo re-settles the fast recurrences regardless; the
+        carried state is what makes the SLOW/latched ones (AGC tau ~1 s,
+        the squelch gate latch, the 0.25 s mute hold — all longer than
+        any affordable halo) continuous across calls instead of
+        re-converging from cold every super-block. Within a super-block
+        shard s still runs from state that is s segments stale — the one
+        remaining stream-parallel approximation, bounded by the tests'
+        AGC-on SNR floor (SURVEY §2.10 row 4).
+
+    The audio wire (i16/i8, ops/cplx.quantize_audio_wire) is applied
+    INSIDE each shard, so the device->host return ships the small ints
+    from the sharded path too; with emit_bb the per-channel baseband is
+    returned alongside (f32) for the RTTY tap.
 
     Returns (process, halo) with
-      process(x, params, tail_prev, nco_base, bfo_base)
-        -> (audio, new_nco_base, new_bfo_base, new_tail)
+      process(x, params, tail_prev, nco_base, bfo_base, dstate)
+        -> (audio, new_nco_base, new_bfo_base, new_tail, new_dstate, bb)
     x: float32 (S*seg, 2) packed, sharded P('stream');
     tail_prev: float32 (halo, 2) replicated (zeros on the first call);
     nco_base/bfo_base: int32 (n_rx,) phase bases (zeros initially);
-    audio: float32 (n_rx, S*aseg, 2).
+    dstate: packed DemodState pytree, leaves leading axis n_rx (seed
+    with bank.state.ch.demod); audio: (n_rx, S*aseg, 2) in the wire
+    dtype; bb: (n_rx, S*aseg, 2) float32 or None.
     """
     design = bank.design
     d, u = design.down, design.up
@@ -158,8 +178,13 @@ def make_streaming_processor(bank: rx_mod.ReceiverBank, mesh: Mesh,
     carrier_taps, pilot_taps = bank.carrier_taps, bank.pilot_taps
     out_halo = H * u // d
     aseg, ahalo = seg * u // d, out_halo
+    wire = bank.audio_wire if audio_wire is None else audio_wire
+    if emit_bb is None:
+        emit_bb = bank.emit_baseband
+    _, dmask = cplx.pack_tree(demod_ops.init_state(design.demod))
 
-    def shard_fn(x_local, params, tail_prev, nco_base, bfo_base):
+    def shard_fn(x_local, params, tail_prev, nco_base, bfo_base,
+                 dstate_p):
         # int8/int16 wire blocks dequantize on device BEFORE the halo
         # exchange, so the carried tail and ppermute traffic stay f32
         # (the jit specializes on the wire dtype)
@@ -172,7 +197,7 @@ def make_streaming_processor(bank: rx_mod.ReceiverBank, mesh: Mesh,
         left = jnp.where(s == 0, tail_prev, left)
         xe = cplx.unpack(jnp.concatenate([left, x_local]))
 
-        def one_channel(p: rx_mod.ChannelParams, nb, bb):
+        def one_channel(p: rx_mod.ChannelParams, nb, bb, dstp):
             k = p.nco_k
             k_seg = nco.advance(k, 0, seg)
             k_h = nco.advance(k, 0, H)
@@ -183,36 +208,55 @@ def make_streaming_processor(bank: rx_mod.ReceiverBank, mesh: Mesh,
             bk_h = nco.advance(bk, 0, ahalo)
             b0 = (bb + (bk_seg * s) % nco.DENOM - bk_h
                   + nco.DENOM) % nco.DENOM
+            dprev = cplx.unpack_tree(dstp, dmask)
             st = rx_mod.ChannelState(
-                nco_phase=p0,
-                demod=demod_ops.init_state(design.demod)._replace(
-                    bfo_phase=b0))
+                nco_phase=p0, demod=dprev._replace(bfo_phase=b0))
             hist0 = jnp.zeros(resample.history_len(design.video_taps, u),
                               jnp.complex64)
-            audio, _, _ = rx_mod.channel_step(
+            audio, new_st, bb_sig = rx_mod.channel_step(
                 xe, hist0, st, p, design, video_bank, carrier_taps,
                 pilot_taps)
-            return cplx.pack(audio[out_halo:])
+            new_dp, _ = cplx.pack_tree(new_st.demod)
+            outs = (cplx.pack(audio[out_halo:]), new_dp)
+            if emit_bb:
+                outs += (cplx.pack(bb_sig[out_halo:]),)
+            return outs
 
-        return jax.vmap(one_channel)(params, nco_base, bfo_base)
+        res = jax.vmap(one_channel)(params, nco_base, bfo_base, dstate_p)
+        audio = cplx.quantize_audio_wire(res[0], wire)
+        # each shard emits its final demod state with a unit stream axis;
+        # the caller keeps the LAST shard's (end of the super-block)
+        state_out = jax.tree.map(lambda leaf: leaf[None], res[1])
+        if emit_bb:
+            return audio, state_out, res[2]
+        return audio, state_out
 
     ch_or_rep = (lambda: P("ch")) if has_ch else (lambda: P())
+    dstate_spec = jax.tree.map(lambda _: ch_or_rep(), dmask)
     in_specs = (P("stream"),
                 jax.tree.map(lambda _: ch_or_rep(), bank.params),
-                P(), ch_or_rep(), ch_or_rep())
-    out_specs = P("ch", "stream") if has_ch else P(None, "stream")
+                P(), ch_or_rep(), ch_or_rep(), dstate_spec)
+    audio_spec = P("ch", "stream") if has_ch else P(None, "stream")
+    state_spec = jax.tree.map(
+        lambda _: P("stream", "ch") if has_ch else P("stream"), dmask)
+    out_specs = (audio_spec, state_spec) + \
+        ((audio_spec,) if emit_bb else ())
     sharded = jax.shard_map(shard_fn, mesh=mesh, in_specs=in_specs,
                             out_specs=out_specs, check_vma=False)
 
     total_in = n_stream * seg
     total_out = n_stream * aseg
 
-    def proc_impl(x, params, tail_prev, nco_base, bfo_base):
-        audio = sharded(x, params, tail_prev, nco_base, bfo_base)
+    def proc_impl(x, params, tail_prev, nco_base, bfo_base, dstate):
+        res = sharded(x, params, tail_prev, nco_base, bfo_base, dstate)
+        audio, state_all = res[0], res[1]
+        bb_out = res[2] if emit_bb else None
+        new_dstate = jax.tree.map(lambda leaf: leaf[-1], state_all)
         # cross-call state advances: pure elementwise, outside shard_map
         new_nb = nco.advance(params.nco_k, nco_base, total_in)
         new_bb = nco.advance(params.demod.bfo_k, bfo_base, total_out)
-        return audio, new_nb, new_bb, cplx.dequantize(x[-H:])
+        return (audio, new_nb, new_bb, cplx.dequantize(x[-H:]),
+                new_dstate, bb_out)
 
     return jax.jit(proc_impl), H
 

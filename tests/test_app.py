@@ -152,6 +152,28 @@ def test_app_rtty_full_chain(tmp_path):
     assert "AA2IL" in text, (text, a.rtty_text)
 
 
+def test_app_rtty_composes_with_mesh_and_audio_wire(tmp_path):
+    """VERDICT r3 #4: --mesh no longer excludes --audio-wire and --rtty.
+    The sharded streaming bank quantizes the audio return inside each
+    shard and emits the baseband tap, so a 2-stream mesh run with the
+    i16 audio wire decodes the same RTTY text as the serial path."""
+    from pysdr_tpu.models import rtty as rtty_mod
+    fs_rf = 512e3
+    dsig = rtty_mod.RTTYDesign(fs=fs_rf)
+    x = rtty_mod.synthesize_rtty("RYRY CQ CQ DE AA2IL AA2IL", dsig,
+                                 carrier_hz=120e3 + 1000.0)
+    path = str(tmp_path / "rtty_capture.dat")
+    w = datfile.DatWriter(path, fs=fs_rf, fc=100e6 - 120e3)
+    w.save_data(x)
+    w.close()
+    a = run_app(["--replay", path, "--no-loop", "--fc", "100.0",
+                 "--mode", "RTTY", "--block", "4096", "--rtty", "0",
+                 "--mesh", "2,1", "--audio-wire", "i16"])
+    assert a.bank.__class__.__name__ == "ShardedStreamBank"
+    text = "".join(a.rtty_text)
+    assert "AA2IL" in text, (text, a.rtty_text)
+
+
 def test_app_control_plane_services():
     """--hamlib/--udp-port start servers that drive the running bank."""
     import socket

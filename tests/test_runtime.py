@@ -130,16 +130,19 @@ def test_executive_wire_formats(wire, min_snr_db):
     assert snr >= min_snr_db, f"{wire}: {snr:.1f} dB"
 
 
-def test_executive_audio_wire_i16():
-    """Audio leaving the device as int16 pairs (on-device quantization,
-    host dequant in the executive) matches the f32 audio wire at the
-    quantization floor."""
+@pytest.mark.parametrize("wire,min_snr_db", [("i16", 55.0), ("i8", 30.0)])
+def test_executive_audio_wire(wire, min_snr_db):
+    """Audio leaving the device as int16 (linear) or int8 (mu-law) pairs
+    (on-device quantization, host dequant in the executive) matches the
+    f32 audio wire at each format's quantization floor (i8 mu-law holds a
+    level-independent ~37 dB — monitoring quality for the many-channel
+    return)."""
     ex_f, _ = _mk_exec()
     cfg = PipelineConfig(
         fs_in=512e3, fs_out=48e3, out_block=1024, foffset_hz=60e3,
         receivers=(ReceiverConfig(fc_hz=10e6, mode=Mode.AM,
                                   agc_enabled=False),))
-    bank_q = ReceiverBank(cfg, audio_wire="i16")
+    bank_q = ReceiverBank(cfg, audio_wire=wire)
     src = synth.SynthSource(
         [synth.SignalSpec(offset_hz=60e3, mode="am", audio_hz=1000.0)],
         fs=512e3)
@@ -150,7 +153,30 @@ def test_executive_audio_wire_i16():
     b = ex_q.audio_rings[0].pull(ex_q.audio_rings[0].nsamps).real
     err = a - b
     snr = 10 * np.log10(float(a @ a) / max(float(err @ err), 1e-30))
-    assert snr > 55.0, snr
+    assert snr > min_snr_db, snr
+
+
+def test_audio_wire_i8_snr_level_independent():
+    """The mu-law property that justifies i8 for monitoring audio: SNR
+    stays ~constant as the signal level drops (linear i8 would lose 6 dB
+    per halving)."""
+    import jax
+
+    from pysdr_tpu.ops import cplx
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((4096, 2)).astype(np.float32) * 0.3
+    snrs = []
+    for level in (1.0, 0.25, 0.0625):
+        xi = x * level
+        q = np.asarray(jax.jit(
+            lambda v: cplx.quantize_audio_wire(v, "i8"))(xi))
+        y = cplx.dequantize_audio_host(q)
+        e = y - xi
+        snrs.append(10 * np.log10(
+            float((xi * xi).sum()) / max(float((e * e).sum()), 1e-30)))
+    assert all(s > 30.0 for s in snrs), snrs
+    assert max(snrs) - min(snrs) < 6.0, snrs     # level-independent
 
 
 def test_fifo_sink_short_write_keeps_alignment(tmp_path):

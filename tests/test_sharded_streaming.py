@@ -193,3 +193,108 @@ def test_streaming_sharded_i16_wire():
         snr = 10 * np.log10(float(ref @ ref)
                             / max(float(err @ err), 1e-30))
         assert snr > 55.0, (c, snr)
+
+
+@pytest.mark.parametrize("squelch_db", [-150.0, -60.0])
+def test_streaming_sharded_agc_on_snr(squelch_db):
+    """VERDICT r3 #3: the one approximation stream sharding makes is the
+    slow recurrences (AGC tau ~1 s > any affordable halo). With the
+    demod recurrence state now carried across calls from the last shard,
+    sharded-vs-serial with AGC ENGAGED (and, second param, squelch
+    engaged with the gate open on signal) must hold a fit-SNR bound
+    across >= 4 super-blocks."""
+    n_stream = 2
+
+    def mk():
+        rxs = (ReceiverConfig(fc_hz=FC0, mode=Mode.AM, agc_enabled=True,
+                              squelch_db=squelch_db),)
+        cfg = PipelineConfig(fs_in=FS, fs_out=48e3, out_block=9600,
+                             foffset_hz=60e3, receivers=rxs)
+        return ReceiverBank(cfg)
+
+    bank_s, bank_p = mk(), mk()
+    d = bank_s.design
+    n_calls = 4
+    n = d.in_block * n_stream * n_calls
+    specs = [synth.SignalSpec(offset_hz=60e3, mode="am", audio_hz=600.0)]
+    x = synth.render(specs, FS, n, noise_rms=0.005)
+    a_serial = serial_audio(bank_s, x)
+
+    m = mesh_mod.make_mesh(n_stream=n_stream, n_ch=1)
+    adapter = ShardedStreamBank(bank_p, m)
+    a_par = sharded_audio(adapter, x)
+
+    skip = 48000            # 1 s: let the serial AGC attack finish
+    ref = a_serial[0, skip:].real
+    tst = a_par[0, skip:].real
+    err = ref - tst
+    snr = 10 * np.log10(float(ref @ ref) / max(float(err @ err), 1e-30))
+    assert snr > 30.0, snr
+
+
+def test_streaming_sharded_squelch_gate_tracks_serial():
+    """Squelch CLOSING mid-stream on the sharded path: the signal drops
+    at half time; both paths must mute the tail (the gate latch is
+    carried state — memories a halo cannot re-derive)."""
+    n_stream = 2
+
+    def mk():
+        rxs = (ReceiverConfig(fc_hz=FC0, mode=Mode.NFM, agc_enabled=True,
+                              squelch_db=6.0),)
+        cfg = PipelineConfig(fs_in=FS, fs_out=48e3, out_block=9600,
+                             foffset_hz=60e3, receivers=rxs)
+        return ReceiverBank(cfg)
+
+    bank_s, bank_p = mk(), mk()
+    d = bank_s.design
+    n_calls = 4
+    n = d.in_block * n_stream * n_calls
+    specs = [synth.SignalSpec(offset_hz=60e3, mode="fm", audio_hz=700.0)]
+    x = np.asarray(synth.render(specs, FS, n, noise_rms=0.003))
+    x[n // 2:] = (0.003 * (np.random.default_rng(3).standard_normal(
+        n - n // 2) + 1j * np.random.default_rng(4).standard_normal(
+        n - n // 2))).astype(np.complex64)     # carrier drops
+    a_serial = serial_audio(bank_s, x)
+
+    m = mesh_mod.make_mesh(n_stream=n_stream, n_ch=1)
+    adapter = ShardedStreamBank(bank_p, m)
+    a_par = sharded_audio(adapter, x)
+
+    n_out = a_serial.shape[1]
+    open_s = np.std(a_serial[0, n_out // 4:n_out // 2 - 4800].real)
+    open_p = np.std(a_par[0, n_out // 4:n_out // 2 - 4800].real)
+    tail_s = np.std(a_serial[0, -n_out // 4:].real)
+    tail_p = np.std(a_par[0, -n_out // 4:].real)
+    # both gates were open on signal and closed after the drop
+    assert open_s > 10 * max(tail_s, 1e-9)
+    assert open_p > 10 * max(tail_p, 1e-9)
+
+
+def test_streaming_sharded_audio_wire_i8():
+    """The i8 (mu-law) audio return rides the sharded path: quantization
+    happens inside each shard, host dequant via the LUT."""
+    bank_f = make_bank(n_ch=1, out_block=9600)
+    rxs = (ReceiverConfig(fc_hz=FC0, mode=Mode.AM, agc_enabled=False),)
+    cfg = PipelineConfig(fs_in=FS, fs_out=48e3, out_block=9600,
+                         foffset_hz=60e3, receivers=rxs)
+    bank_q = ReceiverBank(cfg, audio_wire="i8")
+    d = bank_f.design
+    n = d.in_block * 2 * 2
+    specs = [synth.SignalSpec(offset_hz=60e3, mode="am", audio_hz=500.0)]
+    x = synth.render(specs, FS, n, noise_rms=0.001)
+    m = mesh_mod.make_mesh(n_stream=2, n_ch=1)
+    a_f = sharded_audio(ShardedStreamBank(bank_f, m), x)
+    ad_q = ShardedStreamBank(bank_q, m)
+    outs = []
+    for b in np.split(np.asarray(x), len(x) // ad_q.design.in_block):
+        q = np.asarray(ad_q.step_device(
+            jnp.asarray(cplx.pack(b.astype(np.complex64)))))
+        assert q.dtype == np.int8
+        outs.append(cplx.unpack(cplx.dequantize_audio_host(q)
+                                .reshape(1, -1, 2)))
+    a_q = np.concatenate(outs, axis=1)
+    skip = 16384
+    ref, tst = a_f[0, skip:].real, a_q[0, skip:].real
+    err = ref - tst
+    snr = 10 * np.log10(float(ref @ ref) / max(float(err @ err), 1e-30))
+    assert snr > 30.0, snr
