@@ -175,6 +175,10 @@ def build_parser() -> argparse.ArgumentParser:
     # -- display (headless UpdatePSD; pySDR.py:252-256) --
     ap.add_argument("--psd", action="store_true",
                     help="compute RF/AF PSD + waterfall frames")
+    ap.add_argument("--bb", action="store_true",
+                    help="also compute per-RX BASEBAND PSD/waterfall "
+                         "frames (the reference's BB domain + show-BB "
+                         "toggle, gui.py:121-221; implies --psd)")
     ap.add_argument("--psd-every", type=int, default=8,
                     help="update displays every N blocks")
     ap.add_argument("--png-dir", type=str, default=None,
@@ -351,7 +355,7 @@ class App:
                 # (receiver.py:818-820)
                 cfg = __import__("dataclasses").replace(cfg, fs_in=fs_src)
             self.cfg = cfg
-            emit_bb = args.rtty is not None
+            emit_bb = args.rtty is not None or args.bb
             self.bank = ReceiverBank(cfg, emit_baseband=emit_bb,
                                      audio_wire=args.audio_wire)
         if args.mesh:
@@ -384,10 +388,15 @@ class App:
                 fs=d.fs_out, fc=fc_src, nchan=self.bank.n_rx)
 
         self.display = None
-        if args.psd or args.png_dir or args.web is not None:
+        if args.bb and args.channelize:
+            print("--bb is not available with --channelize; ignoring",
+                  file=sys.stderr)
+            args.bb = False
+        if args.psd or args.bb or args.png_dir or args.web is not None:
             from pysdr_tpu.models.display import DisplayEngine
             self.display = DisplayEngine(self.bank,
-                                         decimate=args.psd_every)
+                                         decimate=args.psd_every,
+                                         show_baseband=args.bb)
 
         self.rtty = None
         if args.rtty is not None:
@@ -485,7 +494,8 @@ class App:
                 self.display, self.ex, port=args.web,
                 rtty_state=self._rtty_state if self.rtty else None,
                 presets_file=args.presets_file,
-                save_iq_dtype=args.save_iq_dtype)
+                save_iq_dtype=args.save_iq_dtype,
+                rig=self.rig, source=self.source)
             print(f"live viewer: http://127.0.0.1:{self.web.port}/",
                   flush=True)
         self.memmon = None
@@ -548,6 +558,11 @@ class App:
             if ex.last_rf_block is not None \
                     and ex.n_blocks % self.args.psd_every == 0:
                 self.display.update_rf(ex.last_rf_block)
+            if self.display.bb and self.bank._last_bb is not None:
+                from pysdr_tpu.ops import cplx
+                self.display.update_bb(cplx.unpack(
+                    np.asarray(self.bank._last_bb).reshape(
+                        self.bank.n_rx, -1, 2)))
         if self.rtty is not None and self.bank._last_bb is not None:
             bb = np.asarray(self.bank._last_bb).reshape(
                 self.bank.n_rx, -1, 2)[self.rtty_rx]

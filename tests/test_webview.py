@@ -230,3 +230,83 @@ def test_webview_channelizer_tune_and_frame():
         assert abs(a.bank._ch_cfgs[ch].fine_offset_hz - 5e3) < 1.0
     finally:
         a.stop_services()
+
+
+def test_webview_bb_section():
+    """--bb surfaces the selected RX's baseband waterfall in the viewer
+    frame (reference BB plot window, gui.py:121-221)."""
+    a = _mk_app(["--bb"])
+    try:
+        a.ex.run(n_blocks=6)
+        fr = json.loads(_get(a.web.port, "/frame.json"))
+        assert fr["ok"] and "bb" in fr, list(fr)
+        assert fr["bb"]["rows"] >= 1 and fr["bb"]["cols"] > 64
+        wf = np.frombuffer(base64.b64decode(fr["bb"]["wf_b64"]), np.uint8)
+        assert wf.size == fr["bb"]["rows"] * fr["bb"]["cols"]
+    finally:
+        a.stop_services()
+
+
+def test_webview_rig_pane_rigctld_loopback():
+    """VERDICT r3 #5: the rig-control pane (reference RIG_CONTROL tab,
+    rig_control.py:45-366) drives a rigctld over HTTP. Loopback: our own
+    HamlibServer plays rigctld; every pane op crosses HTTP -> rigctl TCP
+    -> RigState and lands in the bank / rig levels."""
+    from pysdr_tpu.runtime import hamlib, rig
+
+    a = _mk_app()
+    srv = hamlib.HamlibServer(a.ex, 0, port=0).start()
+    rc = rig.RigConnection(port=srv.server.server_address[1])
+    a.web.rig = rc
+    try:
+        p = a.web.port
+        st = json.loads(_get(p, "/rig.json"))
+        assert st["active"] and "20m" in st["bands"]
+        _get(p, "/rig?op=freq&v=14074000")
+        _get(p, "/rig?op=mode&v=USB")
+        _get(p, "/rig?op=rit&v=120")
+        _get(p, "/rig?op=tx_pwr&v=0.8")
+        _get(p, "/rig?op=mic_gain&v=0.35")
+        _get(p, "/rig?op=monitor&v=0.2")
+        _get(p, "/rig?op=ant&v=1")
+        a.ex._apply_pending()
+        rs = srv.server.rig
+        assert a.bank._rx_cfgs[0].fc_hz == 14074000.0 + 120.0
+        assert a.bank._rx_cfgs[0].mode == Mode.USB
+        assert rs.levels["RFPOWER"] == 0.8
+        assert rs.levels["MICGAIN"] == 0.35
+        assert rs.levels["MONITOR_GAIN"] == 0.2
+        assert rs.ant == 1
+        st = json.loads(_get(p, "/rig.json"))
+        assert st["freq"] == 14074000.0 and st["rit"] == 120.0
+        assert st["tx_pwr"] == 0.8 and st["ant"] == 1
+        # sub-band jump: band select tunes the rig to the FT8 slot
+        _get(p, "/rig?op=band&v=40m")
+        a.ex._apply_pending()
+        assert abs(a.bank._rx_cfgs[0].fc_hz - (7.074e6 + 120.0)) < 1.0
+    finally:
+        rc.close()
+        srv.stop()
+        a.stop_services()
+
+
+def test_webview_device_pane():
+    """VERDICT r3 #5: the device-settings pane (reference device panel,
+    gui.py:229-379) reads and mutates the source device model through
+    block-boundary posts."""
+    a = _mk_app()
+    try:
+        p = a.web.port
+        st = json.loads(_get(p, "/device.json"))
+        assert st["ok"] and st["fs"] == 512e3
+        assert st["gain_db"] == 0.0 and st["antenna"] == "RX"
+        _get(p, "/device?gain=12&ppm=2.5&ant=B")
+        a.ex._apply_pending()
+        assert a.source.rf_gain_db == 12.0
+        assert a.source.ppm == 2.5
+        assert a.source.antenna == "B"
+        st = json.loads(_get(p, "/device.json"))
+        assert st["gain_db"] == 12.0 and st["ppm"] == 2.5 \
+            and st["antenna"] == "B"
+    finally:
+        a.stop_services()
