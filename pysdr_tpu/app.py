@@ -115,6 +115,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "halo exchange, parallel/adapter.py). '1,8' = "
                          "pure channel sharding, '4,1' = pure stream "
                          "parallelism, '2,4' = both")
+    ap.add_argument("--pipeline-depth", type=int, default=2,
+                    help="device blocks in flight before draining the "
+                         "oldest (deeper hides per-block transport "
+                         "latency at the cost of depth-1 blocks of "
+                         "audio latency)")
     ap.add_argument("--wire", choices=["f32", "i16", "i8"], default="f32",
                     help="host->device RF block format: raw CS16/CS8 "
                          "sample pairs ship 2x/4x fewer bytes and are "
@@ -166,6 +171,12 @@ def build_parser() -> argparse.ArgumentParser:
                          "gui.py:1402-1483)")
     ap.add_argument("--hop", type=float, nargs="*", default=None,
                     help="frequency-hop list in MHz (hopper.py:51-199)")
+    ap.add_argument("--hop-schedule", type=str, default=None,
+                    metavar="FILE",
+                    help="hour-keyed hop schedule file ('H[-H]: entries' "
+                         "per line; the reference presets 'Hops' sheet "
+                         "keyed by hour, hopper.py:74-111); entries are "
+                         "MHz numbers or slots like 40m:FT8")
     ap.add_argument("--dwell", type=float, default=15.0,
                     help="hop dwell seconds (WSJT 15 s slots)")
     # -- decoders --
@@ -199,6 +210,11 @@ def build_parser() -> argparse.ArgumentParser:
                     const="/tmp/SDR_MEMORY.TXT", metavar="PATH",
                     help="log RSS snapshots (reference Memory_Monitor, "
                          "pySDR.py:224-225)")
+    ap.add_argument("--watchdog-log", type=str, nargs="?", default=None,
+                    const="/tmp/LOG2.TXT", metavar="PATH",
+                    help="write the watchdog latency CSV (reference "
+                         "/tmp/LOG2.TXT, watchdog.py:176-227); analyze "
+                         "with `python -m pysdr_tpu.latency PATH`")
     ap.add_argument("--internals", type=str, default=None, metavar="NPZ",
                     help="dump filter banks for cross-validation "
                          "(internals.mat harness, receiver.py:864-874)")
@@ -342,7 +358,7 @@ class App:
         if args.channelize:
             self.bank, self.source, self.cfg = build_channelizer(args)
             cfg, fc_src = self.cfg, self.cfg.fc_hz
-            for feat in ("rtty", "hamlib", "rig", "hop"):
+            for feat in ("rtty", "hamlib", "rig", "hop", "hop_schedule"):
                 if getattr(args, feat):
                     print(f"--{feat} is not available with --channelize; "
                           "ignoring", file=sys.stderr)
@@ -350,10 +366,21 @@ class App:
         else:
             cfg = build_config(args)
             self.source, fs_src, fc_src = build_source(args, cfg)
-            if args.replay and (fs_src != cfg.fs_in):
-                # rate plan recomputed from the file header
-                # (receiver.py:818-820)
-                cfg = __import__("dataclasses").replace(cfg, fs_in=fs_src)
+            if args.replay:
+                import dataclasses as _dc
+                repl = {}
+                if fs_src != cfg.fs_in:
+                    # rate plan recomputed from the file header
+                    # (receiver.py:818-820)
+                    repl["fs_in"] = fs_src
+                if args.foffset is None and fc_src:
+                    # NCO offsets derive from the FILE's center, like the
+                    # reference's REPLAY_FC retune (gui.py:1926-1929) —
+                    # the default foffset was computed before the header
+                    # was read and may not match the capture
+                    repl["foffset_hz"] = cfg.receivers[0].fc_hz - fc_src
+                if repl:
+                    cfg = _dc.replace(cfg, **repl)
             self.cfg = cfg
             emit_bb = args.rtty is not None or args.bb
             self.bank = ReceiverBank(cfg, emit_baseband=emit_bb,
@@ -413,7 +440,7 @@ class App:
             self.bank, self.source, realtime=args.realtime,
             raw_writer=self.raw_writer, demod_writer=self.demod_writer,
             psd_callback=self._on_block, loop_source=not args.no_loop,
-            wire=args.wire)
+            wire=args.wire, pipeline_depth=args.pipeline_depth)
 
         # audio sinks: wav files or null (no sound card on a TPU host)
         from pysdr_tpu.runtime.audio import (FifoSink, TeeSink, WavSink,
@@ -445,15 +472,19 @@ class App:
         self.watchdogs = []
         if args.realtime:
             rings = self.ex.audio_rings
+            wd_kw = {"log_path": args.watchdog_log} \
+                if args.watchdog_log else {}
             if args.stereo:
                 for i in range(0, len(rings), 2):
                     if i + 1 < len(rings):
-                        self.watchdogs.append(
-                            PairWatchDog(rings[i:i + 2], d.fs_out))
+                        self.watchdogs.append(PairWatchDog(
+                            rings[i:i + 2], d.fs_out, **wd_kw))
                     else:
-                        self.watchdogs.append(WatchDog(rings[i], d.fs_out))
+                        self.watchdogs.append(WatchDog(
+                            rings[i], d.fs_out, **wd_kw))
             else:
-                self.watchdogs = [WatchDog(r, d.fs_out) for r in rings]
+                self.watchdogs = [WatchDog(r, d.fs_out, **wd_kw)
+                                  for r in rings]
 
         # control plane
         self.hamlib_servers = []
@@ -508,12 +539,15 @@ class App:
             from pysdr_tpu.runtime.fldigi import CounterSync
             self.fldigi_sync = CounterSync(args.fldigi_ports)
         self.hopper = None
-        if args.hop:
-            from pysdr_tpu.runtime.hopper import FreqHopper
+        if args.hop or args.hop_schedule:
+            from pysdr_tpu.runtime.hopper import (FreqHopper,
+                                                  load_hop_schedule)
+            sched = (load_hop_schedule(args.hop_schedule)
+                     if args.hop_schedule else None)
             self.hopper = FreqHopper(
                 self.ex, [(f * 1e6, cfg.receivers[0].mode)
-                          for f in args.hop],
-                dwell_s=args.dwell)
+                          for f in (args.hop or [])],
+                dwell_s=args.dwell, schedule=sched)
 
     def _sync_spots(self, table):
         """UDP SpotTable -> display overlay (kHz wire -> Hz display)."""

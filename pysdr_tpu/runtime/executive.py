@@ -35,7 +35,7 @@ class Executive:
     def __init__(self, bank, source, audio_rings=None, realtime=False,
                  raw_writer=None, demod_writer=None,
                  psd_callback: Callable | None = None, loop_source=True,
-                 wire: str = "f32"):
+                 wire: str = "f32", pipeline_depth: int = 2):
         """bank: models.receiver.ReceiverBank; source: DatReader/SynthSource
         (anything with read_data(n)); audio_rings: list of RingBuffer per
         channel (created if None); raw/demod_writer: io.datfile.DatWriter
@@ -43,7 +43,13 @@ class Executive:
         wire: "f32" | "i16" | "i8" — RF blocks cross the host->device link
         as raw CS16/CS8 sample pairs at 1/2 / 1/4 the bytes, dequantized
         on device inside the step jit (cplx.dequantize). i16 is lossless
-        for any real SDR front-end (14-bit SDRplay, 8-bit RTL)."""
+        for any real SDR front-end (14-bit SDRplay, 8-bit RTL).
+        pipeline_depth: device blocks kept in flight before draining the
+        oldest. Depth 1 is the classic double-buffer; on a high-latency
+        transport (the axon tunnel's per-block RPC cost rivals its
+        transfer time) a deeper pipeline lets upload k+1 / compute k /
+        download k-1 all queue concurrently. Adds depth-1 blocks of
+        audio latency — the realtime watchdog budget absorbs 1-2."""
         import jax.numpy as jnp
         self._jnp = jnp
         self.bank = bank
@@ -52,6 +58,7 @@ class Executive:
         self.loop_source = loop_source
         assert wire in ("f32", "i16", "i8"), wire
         self.wire = wire
+        self.pipeline_depth = max(1, int(pipeline_depth))
         d = bank.design
         ring_size = 32 * 1024 * max(1, int(d.fs_out / 48e3))  # params.py:456
         self.audio_rings = audio_rings or [
@@ -184,19 +191,23 @@ class Executive:
                 else:
                     next_deadline = max(next_deadline, now - block_budget)
 
-        # one-block software pipeline: while the device computes block k,
-        # the host reads block k+1 AND drains block k-1 to the sinks (the
+        # software pipeline, depth D: while the device computes block k,
+        # the host reads block k+1 AND drains block k-D to the sinks (the
         # reference's thread/ring-buffer decoupling, SURVEY §2.10 row 2,
-        # without threads — JAX async dispatch is the second stage)
+        # without threads — JAX async dispatch holds the in-flight
+        # blocks). Depth > 1 keeps several blocks' uploads/computes/
+        # downloads queued concurrently on high-latency transports.
+        from collections import deque
         nxt = read_block()
-        pending = None       # device audio buffer in flight
+        pending: deque = deque()     # device audio buffers in flight
+        depth = self.pipeline_depth
         while not self._stop.is_set():
             if nxt is None:
                 break
             # n_blocks is cumulative across run() calls (self.n_blocks
-            # counts completed blocks; one more may be in flight)
+            # counts completed blocks; more may be in flight)
             if n_blocks is not None and \
-                    self.n_blocks + (pending is not None) >= n_blocks:
+                    self.n_blocks + len(pending) >= n_blocks:
                 break
             if deadline and time.monotonic() > deadline:
                 break
@@ -204,14 +215,22 @@ class Executive:
             with self.profiler:
                 t0 = time.perf_counter()
                 audio_p = self.bank.step_device(nxt)   # async dispatch
+                # enqueue the device->host copy NOW, before the next
+                # block's upload hits the (serialized) transport — the
+                # later np.asarray then picks up a landed buffer instead
+                # of queueing its pull behind a whole RF upload
+                try:
+                    audio_p.copy_to_host_async()
+                except AttributeError:
+                    pass
                 self.stage_ms["dispatch"] += \
                     (time.perf_counter() - t0) * 1e3
                 nxt = read_block()                     # overlap host read
-                if pending is not None:
-                    finish(pending)                    # drain block k-1
-            pending = audio_p
-        if pending is not None:
-            finish(pending)
+                pending.append(audio_p)
+                if len(pending) > depth:
+                    finish(pending.popleft())          # drain block k-D
+        while pending:
+            finish(pending.popleft())
         return self.profiler
 
     def stop(self):

@@ -71,6 +71,48 @@ def expand_hop_list(entries) -> list[tuple[float, tables.Mode]]:
     return out
 
 
+def load_hop_schedule(path: str) -> dict[int, list]:
+    """Hour-keyed hop schedule file -> {hour: hop_list} for FreqHopper
+    (the reference's presets 'Hops' sheet keyed by hour,
+    hopper.py:74-111). Format: one rule per line,
+
+        HOUR[-HOUR]: entry [entry ...]      # comments allowed
+
+    where each entry is anything expand_hop_list accepts — a frequency
+    in MHz (e.g. 7.074), a symbolic slot ("40m:FT8", "20m:CW1"), or the
+    multi-band expanders "FT8"/"FT4". Hours are local, 0-23; a range
+    covers both endpoints. Example:
+
+        0-5:   80m:FT8 160m:FT8     # gray-line lows overnight
+        6-17:  FT8                  # all bands through the day
+        18-23: 40m:FT8 40m:CW1
+    """
+    sched: dict[int, list] = {}
+    with open(path) as f:
+        for ln, raw in enumerate(f, 1):
+            line = raw.split("#")[0].strip()
+            if not line:
+                continue
+            hours, _, rest = line.partition(":")
+            entries = []
+            for tok in rest.split():
+                try:
+                    entries.append(float(tok) * 1e6)   # MHz
+                except ValueError:
+                    entries.append(tok)
+            lo, _, hi = hours.strip().partition("-")
+            try:
+                h0, h1 = int(lo), int(hi or lo)
+            except ValueError as e:
+                raise ValueError(f"{path}:{ln}: bad hour spec "
+                                 f"{hours!r}") from e
+            if not (0 <= h0 <= 23 and 0 <= h1 <= 23):
+                raise ValueError(f"{path}:{ln}: hour out of range")
+            for h in range(h0, h1 + 1):
+                sched[h] = entries
+    return sched
+
+
 class FreqHopper:
     """Timer-driven hopper posting retunes to the executive."""
 

@@ -211,3 +211,36 @@ def test_rit_then_freq_before_block_boundary():
         rc.close()
     finally:
         srv.stop()
+
+
+def test_hop_schedule_file(tmp_path):
+    """--hop-schedule: hour-keyed rules file -> FreqHopper schedule (the
+    reference presets 'Hops' sheet keyed by hour, hopper.py:74-111)."""
+    f = tmp_path / "hops.txt"
+    f.write_text(
+        "# overnight lows\n"
+        "0-5:   80m:FT8 160m:FT8\n"
+        "6-17:  FT8\n"
+        "18-23: 40m:FT8 7.040 40m:CW1\n")
+    sched = hopper.load_hop_schedule(str(f))
+    assert set(sched) == set(range(24))
+    assert sched[2] == ["80m:FT8", "160m:FT8"]
+    assert sched[19][1] == pytest.approx(7.04e6)
+
+    ex, bank = _mk_exec()
+    h = hopper.FreqHopper(ex, [], dwell_s=0.01,
+                          schedule={k: v for k, v in sched.items()})
+    # whatever the current hour, a schedule entry exists -> hops resolve
+    hops = h.current_hops()
+    assert hops and all(isinstance(f_, float) for f_, _ in hops)
+    got = h.hop_once()
+    assert got is not None
+    ex._apply_pending()
+    assert bank._rx_cfgs[0].fc_hz == got[0]
+
+
+def test_hop_schedule_bad_file(tmp_path):
+    f = tmp_path / "bad.txt"
+    f.write_text("25: FT8\n")
+    with pytest.raises(ValueError):
+        hopper.load_hop_schedule(str(f))

@@ -213,3 +213,55 @@ def test_fifo_sink_short_write_keeps_alignment(tmp_path):
     finally:
         os.close(rd)
         sink.close()
+
+
+def test_latency_analyzer(tmp_path, capsys):
+    """python -m pysdr_tpu.latency summarizes the watchdog CSV (the
+    reference's offline plot_latency.m analysis, sigs/plot_latency.m):
+    p50/p95 latency and the self-heal event counts."""
+    from pysdr_tpu import latency
+    from pysdr_tpu.runtime.ringbuffer import RingBuffer
+    from pysdr_tpu.runtime.watchdog import WatchDog
+
+    log = str(tmp_path / "LOG2.TXT")
+    rb = RingBuffer("audio0", 4800, "complex64")
+    wd = WatchDog(rb, fs=48e3, log_path=log, low=0.25, high=0.75)
+    # healthy passes at varying depths
+    for n in (2000, 2400, 2600):
+        rb.clear()
+        rb.push(np.zeros(n, np.complex64))
+        wd.check_once()
+    # low-water -> zero-fill event ; high-water -> drop event
+    rb.clear()
+    rb.push(np.zeros(100, np.complex64))
+    wd.check_once()
+    rb.push(np.zeros(4500, np.complex64))
+    wd.check_once()
+    wd.stop()
+
+    summary = latency.analyze(log)
+    s = summary["audio0"]
+    assert s["n_samples"] == 5
+    assert 0.0 < s["latency_p50_s"] <= s["latency_p95_s"] \
+        <= s["latency_max_s"]
+    assert s["zero_fills"] == 1 and s["zeroed_samples"] > 0
+    assert s["drops"] == 1 and s["dropped_samples"] > 0
+
+    rc = latency.main([log])
+    out = capsys.readouterr().out
+    assert rc == 0 and "audio0" in out and "p95" in out
+
+
+def test_app_watchdog_log_flag(tmp_path):
+    """--watchdog-log threads the CSV path into the realtime watchdogs."""
+    from pysdr_tpu import app as app_mod
+    log = str(tmp_path / "wd.csv")
+    args = app_mod.build_parser().parse_args(
+        ["--fs", "0.512", "--block", "4096", "--blocks", "3",
+         "--realtime", "--watchdog-log", log])
+    a = app_mod.App(args)
+    a.run()
+    import os
+    assert os.path.exists(log)
+    from pysdr_tpu import latency
+    assert latency.analyze(log) is not None
