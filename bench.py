@@ -168,7 +168,14 @@ def _write_am_dat(path, fs, n, offset_hz=120e3):
     w.close()
 
 
-_WIRE_BYTES = {"f32": 4, "i16": 2, "i8": 1}     # per component
+def _wire_bytes(wire: str) -> int:
+    """Bytes per component for a wire format, from the one table that
+    defines the formats (ops/cplx.WIRE_DTYPES) — no parallel constants
+    to drift when a format is added."""
+    import numpy as np
+
+    from pysdr_tpu.ops import cplx
+    return np.dtype(cplx.WIRE_DTYPES[wire]).itemsize
 
 
 def _run_e2e(argv, n_blocks=50, warm=2, reps=5):
@@ -197,9 +204,9 @@ def _run_e2e(argv, n_blocks=50, warm=2, reps=5):
     n_run = done - warm
     stages = {k: (a.ex.stage_ms[k] - base[k]) / n_run
               for k in a.ex.stage_ms}
-    bytes_up = d.in_block * 2 * _WIRE_BYTES[args.wire]
-    bytes_down = a.bank.n_rx * d.out_block * 2 * _WIRE_BYTES[
-        args.audio_wire]
+    bytes_up = d.in_block * 2 * _wire_bytes(args.wire)
+    bytes_down = a.bank.n_rx * d.out_block * 2 * _wire_bytes(
+        args.audio_wire)
     block_ms = dt_all / n_run * 1e3
     return {"samples_per_s": statistics.median(rates),
             "sps_min": min(rates), "sps_max": max(rates), "n_reps": reps,

@@ -526,7 +526,8 @@ class App:
                 rtty_state=self._rtty_state if self.rtty else None,
                 presets_file=args.presets_file,
                 save_iq_dtype=args.save_iq_dtype,
-                rig=self.rig, source=self.source)
+                rig=self.rig, source=self.source,
+                follower=self.follower)
             print(f"live viewer: http://127.0.0.1:{self.web.port}/",
                   flush=True)
         self.memmon = None
@@ -587,19 +588,30 @@ class App:
             self._aux_tail = x[-(len(self._aux_taps) - 1):]
             self.aux_sink.write(np.convolve(
                 x, self._aux_taps, "valid").astype(np.float32))
+        # baseband for the drained block: the executive carries it
+        # through its pipeline so it matches `audio` (bank._last_bb is
+        # pipeline-depth blocks ahead). Pulled from the device at most
+        # once, and only on blocks that consume it (RTTY needs every
+        # block; the BB display only every decimate-th).
+        bb_host = None
+        need_bb_display = (self.display is not None and self.display.bb
+                           and ex.drained_bb is not None
+                           and self.display._n % self.display.decimate
+                           == self.display.decimate - 1)
+        if (self.rtty is not None or need_bb_display) \
+                and ex.drained_bb is not None:
+            bb_host = np.asarray(ex.drained_bb).reshape(
+                self.bank.n_rx, -1, 2)
         if self.display is not None:
             self.display(ex, audio)
             if ex.last_rf_block is not None \
                     and ex.n_blocks % self.args.psd_every == 0:
                 self.display.update_rf(ex.last_rf_block)
-            if self.display.bb and self.bank._last_bb is not None:
+            if need_bb_display and bb_host is not None:
                 from pysdr_tpu.ops import cplx
-                self.display.update_bb(cplx.unpack(
-                    np.asarray(self.bank._last_bb).reshape(
-                        self.bank.n_rx, -1, 2)))
-        if self.rtty is not None and self.bank._last_bb is not None:
-            bb = np.asarray(self.bank._last_bb).reshape(
-                self.bank.n_rx, -1, 2)[self.rtty_rx]
+                self.display.update_bb(cplx.unpack(bb_host))
+        if self.rtty is not None and bb_host is not None:
+            bb = bb_host[self.rtty_rx]
             for i, txt in enumerate(self.rtty.decode_block(bb)):
                 if txt:
                     self.rtty_text.append(txt)

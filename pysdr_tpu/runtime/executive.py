@@ -72,6 +72,12 @@ class Executive:
         self._stop = threading.Event()
         self.n_blocks = 0
         self.last_rf_block: np.ndarray | None = None
+        # baseband (device array) matching the block being DRAINED: with
+        # a depth-D pipeline, bank._last_bb is D blocks ahead of the
+        # audio handed to psd_callback, so the bb is carried through the
+        # pipeline alongside its audio and exposed here for consumers
+        # (the RTTY tap and the BB display read this, not bank._last_bb)
+        self.drained_bb = None
         # per-stage accounting (ms totals; report with stage_report()):
         # read = host source + quantize, upload = host->device issue,
         # dispatch = device step issue, drain = result pull + sinks
@@ -160,8 +166,9 @@ class Executive:
         # slow start doesn't trigger a long full-speed catch-up burst.
         next_deadline = None
 
-        def finish(audio_p):
+        def finish(entry):
             nonlocal next_deadline
+            audio_p, self.drained_bb = entry
             # sync point: device -> host pull of an ALREADY-dispatched
             # block; with the one-block pipeline below the compute had a
             # whole iteration to complete, so this pays transfer only
@@ -226,7 +233,8 @@ class Executive:
                 self.stage_ms["dispatch"] += \
                     (time.perf_counter() - t0) * 1e3
                 nxt = read_block()                     # overlap host read
-                pending.append(audio_p)
+                pending.append(
+                    (audio_p, getattr(self.bank, "_last_bb", None)))
                 if len(pending) > depth:
                     finish(pending.popleft())          # drain block k-D
         while pending:

@@ -64,19 +64,28 @@ class RigState:
         # from the viewer/hopper).
         self.dial_hz: float | None = None
         self._known_fc: set = set()
+        # dial/RIT mutations come from every ThreadingTCPServer client
+        # thread (wsjtx polling while the web pane tunes): serialize the
+        # read-modify-post sequences so no retune is computed from a
+        # dial another thread is mid-update on
+        self._lock = threading.Lock()
 
     @property
     def _cfg(self):
         return self.ex.bank._rx_cfgs[self.i]
 
-    def get_freq(self) -> float:
-        # displayed (dial) frequency excludes the clarifier shift,
-        # like a real rig's RIT
+    def _get_freq_locked(self) -> float:
         fc = self._cfg.fc_hz
         if self.dial_hz is None or fc not in self._known_fc:
             self.dial_hz = fc - self.rit_hz
             self._known_fc = {fc}
         return self.dial_hz
+
+    def get_freq(self) -> float:
+        # displayed (dial) frequency excludes the clarifier shift,
+        # like a real rig's RIT
+        with self._lock:
+            return self._get_freq_locked()
 
     def _post_retune(self, target_hz: float):
         self._known_fc.add(self._cfg.fc_hz)
@@ -84,16 +93,18 @@ class RigState:
         self.ex.post("retune", self.i, target_hz)
 
     def set_freq(self, hz: float):
-        self.get_freq()          # seed _known_fc before mutating the dial
-        self.dial_hz = hz
-        self._post_retune(hz + self.rit_hz)
+        with self._lock:
+            self._get_freq_locked()   # seed _known_fc before mutating
+            self.dial_hz = hz
+            self._post_retune(hz + self.rit_hz)
 
     def set_rit(self, hz: float):
         """Clarifier/RIT: shift the RX by hz without moving the dial
         (reference read_clarifier/rig_retune sync, gui.py:1402-1483)."""
-        dial = self.get_freq()
-        self.rit_hz = hz
-        self._post_retune(dial + hz)
+        with self._lock:
+            dial = self._get_freq_locked()
+            self.rit_hz = hz
+            self._post_retune(dial + hz)
 
     def get_mode(self):
         m = self._cfg.mode

@@ -108,7 +108,11 @@ def load_hop_schedule(path: str) -> dict[int, list]:
                                  f"{hours!r}") from e
             if not (0 <= h0 <= 23 and 0 <= h1 <= 23):
                 raise ValueError(f"{path}:{ln}: hour out of range")
-            for h in range(h0, h1 + 1):
+            # '22-6' wraps midnight (overnight schedules are the most
+            # natural use of an hour-keyed hop plan)
+            hours = range(h0, h1 + 1) if h0 <= h1 else \
+                [*range(h0, 24), *range(0, h1 + 1)]
+            for h in hours:
                 sched[h] = entries
     return sched
 

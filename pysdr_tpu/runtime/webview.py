@@ -100,6 +100,12 @@ PAGE = """<!DOCTYPE html>
   <option value="0">A</option><option value="1">B</option></select>
  <button onclick="rigSet('vfo','A')">VFO A</button>
  <button onclick="rigSet('vfo','B')">VFO B</button>
+ <label class="lbl"><input id="rigff" type="checkbox"
+  onchange="rigSet('follow_freq',this.checked?1:0)">follow-freq</label>
+ <label class="lbl"><input id="rigfb" type="checkbox"
+  onchange="rigSet('follow_band',this.checked?1:0)">follow-band</label>
+ <label class="lbl"><input id="rigcl" type="checkbox"
+  onchange="rigSet('clar',this.checked?1:0)">CLAR</label>
 </div>
 <canvas id="rwf" width="1024" height="100" style="display:none"></canvas>
 <div id="rtty"></div>
@@ -227,6 +233,10 @@ async function loadRig(){try{
   if(document.activeElement!==e)e.value=v;};
  set('rigmode',d.mode);set('rigrit',d.rit);set('rigpwr',d.tx_pwr);
  set('rigmic',d.mic_gain);set('rigmon',d.monitor);set('rigant',d.ant);
+ if('follow_freq' in d){
+  document.getElementById('rigff').checked=d.follow_freq;
+  document.getElementById('rigfb').checked=d.follow_band;
+  document.getElementById('rigcl').checked=d.clar;}
 }catch(e){}}
 async function loadDev(){try{
  const d=await (await fetch('device.json')).json();
@@ -251,7 +261,7 @@ document.getElementById('devppm').onchange=e=>
  fetch('device?ppm='+e.target.value).then(()=>setTimeout(loadDev,100));
 document.getElementById('devant').onchange=e=>
  fetch('device?ant='+e.target.value).then(()=>setTimeout(loadDev,100));
-loadRig();loadDev();setInterval(loadRig,2000);
+loadRig();loadDev();setInterval(loadRig,2000);setInterval(loadDev,2000);
 function fAt(ev,el){const r=el.getBoundingClientRect();
  return f0+(ev.clientX-r.left)/r.width*(f1-f0);}
 for(const el of [wf,psd]){
@@ -276,6 +286,14 @@ class _Handler(BaseHTTPRequestHandler):
         self.wfile.write(body)
 
     def do_GET(self):  # noqa: N802 (stdlib API)
+        try:
+            self._route()
+        except (KeyError, ValueError, IndexError) as e:
+            # malformed/missing query params must not 500 with a
+            # traceback: answer 400 and keep the connection usable
+            self.send_error(400, f"bad request: {e!r}")
+
+    def _route(self):
         view: WebViewer = self.server.view  # type: ignore
         url = urlparse(self.path)
         q = parse_qs(url.query)
@@ -373,7 +391,7 @@ class WebViewer:
                  host: str = "127.0.0.1", rtty_state=None,
                  presets_file: str | None = None,
                  save_iq_dtype: str = "complex64",
-                 rig=None, source=None):
+                 rig=None, source=None, follower=None):
         self.display = display
         self.ex = executive
         self.rtty_state = rtty_state   # callable -> dict | None
@@ -381,6 +399,7 @@ class WebViewer:
         self.save_iq_dtype = save_iq_dtype   # honors CLI --save-iq-dtype
         self.rig = rig                 # runtime.rig.RigConnection | None
         self.source = source           # device model (io.synth surface)
+        self.follower = follower       # runtime.rig.RigFollower | None
         self._presets = None
         self.server = ThreadingHTTPServer((host, port), _Handler)
         self.server.daemon_threads = True
@@ -505,14 +524,29 @@ class WebViewer:
         if r is None or not getattr(r, "active", False):
             return {"active": False}
         from pysdr_tpu.runtime.hopper import BANDS_KHZ
-        return {"active": True, "freq": r.get_freq(),
-                "mode": r.get_mode(), "vfo": r.get_vfo(),
-                "rit": r.read_clarifier(), "tx_pwr": r.read_tx_pwr(),
-                "mic_gain": r.read_mic_gain(),
-                "monitor": r.read_monitor_level(), "ant": r.get_ant(),
-                "bands": list(BANDS_KHZ)}
+        out = {"active": True, "freq": r.get_freq(),
+               "mode": r.get_mode(), "vfo": r.get_vfo(),
+               "rit": r.read_clarifier(), "tx_pwr": r.read_tx_pwr(),
+               "mic_gain": r.read_mic_gain(),
+               "monitor": r.read_monitor_level(), "ant": r.get_ant(),
+               "bands": list(BANDS_KHZ)}
+        f = self.follower
+        if f is not None:
+            # the pan panel's follow-freq / follow-band / CLAR toggles
+            # (reference gui.py:521-598)
+            out["follow_freq"] = f.follow_freq
+            out["follow_band"] = f.follow_band
+            out["clar"] = f.use_clarifier
+        return out
 
     def rig_set(self, op: str, v: str):
+        f = self.follower
+        if f is not None and op in ("follow_freq", "follow_band", "clar"):
+            attr = {"follow_freq": "follow_freq",
+                    "follow_band": "follow_band",
+                    "clar": "use_clarifier"}[op]
+            setattr(f, attr, bool(int(float(v))))
+            return
         r = self.rig
         if r is None or not getattr(r, "active", False):
             return

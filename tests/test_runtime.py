@@ -265,3 +265,44 @@ def test_app_watchdog_log_flag(tmp_path):
     assert os.path.exists(log)
     from pysdr_tpu import latency
     assert latency.analyze(log) is not None
+
+
+def test_executive_bb_aligned_with_drained_audio():
+    """With the depth-D pipeline, the baseband handed to psd_callback
+    consumers must belong to the DRAINED block, not the just-dispatched
+    one (bank._last_bb runs D blocks ahead): blocks with strictly
+    increasing source amplitude must produce strictly increasing,
+    correctly indexed bb RMS in the callback — no skipped leading blocks
+    and no repeated trailing ones."""
+    cfg = PipelineConfig(
+        fs_in=512e3, fs_out=48e3, out_block=1024, foffset_hz=60e3,
+        receivers=(ReceiverConfig(fc_hz=10e6, mode=Mode.AM,
+                                  agc_enabled=False),))
+    bank = ReceiverBank(cfg, emit_baseband=True)
+
+    class SteppedSource:
+        def __init__(self):
+            self.k = 0
+
+        def read_data(self, n, loop=True):
+            t = np.arange(n) / 512e3
+            amp = 0.05 * (self.k + 1)
+            self.k += 1
+            return (amp * np.exp(2j * np.pi * 60e3 * t)
+                    ).astype(np.complex64)
+
+    bb_rms = []
+
+    def cb(ex, audio):
+        assert ex.drained_bb is not None
+        bb_rms.append(float(np.sqrt(np.mean(
+            np.asarray(ex.drained_bb) ** 2))))
+
+    ex = Executive(bank, SteppedSource(), psd_callback=cb,
+                   pipeline_depth=2)
+    ex.run(n_blocks=6)
+    assert len(bb_rms) == 6
+    assert all(b2 > b1 for b1, b2 in zip(bb_rms, bb_rms[1:])), bb_rms
+    # bb index i really is source block i: rms scales as (i+1)
+    for i, b in enumerate(bb_rms):
+        assert abs(b / bb_rms[0] - (i + 1)) < 0.15 * (i + 1), bb_rms

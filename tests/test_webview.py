@@ -310,3 +310,30 @@ def test_webview_device_pane():
             and st["antenna"] == "B"
     finally:
         a.stop_services()
+
+
+def test_webview_rig_follower_toggles():
+    """The pan panel's follow-freq / follow-band / CLAR toggles
+    (reference gui.py:521-598) drive the RigFollower over HTTP."""
+    from pysdr_tpu.runtime import hamlib, rig
+
+    a = _mk_app()
+    srv = hamlib.HamlibServer(a.ex, 0, port=0).start()
+    rc = rig.RigConnection(port=srv.server.server_address[1])
+    fl = rig.RigFollower(a.ex, rc)
+    a.web.rig, a.web.follower = rc, fl
+    try:
+        p = a.web.port
+        st = json.loads(_get(p, "/rig.json"))
+        assert st["follow_freq"] and st["follow_band"] and st["clar"]
+        _get(p, "/rig?op=follow_freq&v=0")
+        _get(p, "/rig?op=clar&v=0")
+        assert fl.follow_freq is False
+        assert fl.use_clarifier is False
+        assert fl.follow_band is True
+        st = json.loads(_get(p, "/rig.json"))
+        assert st["follow_freq"] is False and st["clar"] is False
+    finally:
+        rc.close()
+        srv.stop()
+        a.stop_services()
