@@ -91,6 +91,14 @@ def build_parser() -> argparse.ArgumentParser:
                          "C++ streamer (native/sdrio.cpp) is built")
     ap.add_argument("--no-loop", action="store_true",
                     help="stop at end of replay file instead of looping")
+    ap.add_argument("--rtl-tcp", type=str, default=None,
+                    metavar="HOST:PORT",
+                    help="stream live IQ from an rtl_tcp server (every "
+                         "RTL-SDR ships one; the network path to real "
+                         "hardware from a USB-less host). The device "
+                         "tunes to the derived SDR center at startup "
+                         "and RXs tune within that passband; "
+                         "--rf-gain/--ppm program the dongle")
     ap.add_argument("--synth-noise", type=float, default=0.001,
                     help="noise RMS for the synthetic source (-fake "
                          "equivalent, utils.py:71-273)")
@@ -274,6 +282,15 @@ def build_source(args, cfg: cfg_mod.PipelineConfig):
         rd = datfile.DatReader(args.replay[0], start_sec=start)
         # replay restores fs/fc from the header (receiver.py:810-820)
         return rd, rd.srate, rd.fc
+    if args.rtl_tcp:
+        from pysdr_tpu.io import rtltcp
+        host, _, port = args.rtl_tcp.partition(":")
+        src = rtltcp.RtlTcpSource(
+            host or "127.0.0.1", int(port or 1234),
+            fs=cfg.fs_in, fc=cfg.sdr_center_hz,
+            gain_db=args.rf_gain if args.rf_gain else None,
+            ppm=args.ppm)
+        return src, cfg.fs_in, cfg.sdr_center_hz
     # synthetic passband: one station per requested channel
     specs = []
     for i, (rc, off) in enumerate(zip(cfg.receivers,
@@ -326,6 +343,13 @@ def build_channelizer(args):
                     args.replay[0], loop=not args.no_loop), cfg
         rd = datfile.DatReader(args.replay[0], start_sec=start)
         return bank, rd, cfg
+    if args.rtl_tcp:
+        from pysdr_tpu.io import rtltcp
+        host, _, port = args.rtl_tcp.partition(":")
+        return bank, rtltcp.RtlTcpSource(
+            host or "127.0.0.1", int(port or 1234), fs=fs_in, fc=fc,
+            gain_db=args.rf_gain if args.rf_gain else None,
+            ppm=args.ppm), cfg
     # synthetic passband: one AM station on every 4th channel center
     offs = cfg.center_freqs_hz() - fc
     kind = {tables.Mode.NFM: "fm", tables.Mode.USB: "usb",
@@ -678,6 +702,8 @@ class App:
                 wr.close()
         if self.aux_sink is not None:
             self.aux_sink.close()
+        if hasattr(self.source, "close"):
+            self.source.close()
         if self.args.png_dir and self.display is not None:
             import os
             os.makedirs(self.args.png_dir, exist_ok=True)

@@ -1,0 +1,294 @@
+"""rtl_tcp network IQ source: live hardware over TCP, no USB required.
+
+The reference reaches real RTL dongles through SoapySDR/librtlsdr USB
+bindings (reference BUILD_RTL:37-99, utils.py:71-273 fake driver, SURVEY
+§2.8). A TPU host has no USB stack, but every RTL-SDR ships with
+`rtl_tcp`, the de-facto network streaming server: 12-byte handshake
+(magic "RTL0", tuner type, gain count), then an endless CU8 IQ stream;
+the client controls the dongle with 5-byte big-endian commands. This
+source speaks that protocol, presenting the same read lifecycle +
+Soapy-shaped device surface as the synth/replay sources (io/synth.py),
+so `--rtl-tcp host:port` drops straight into the executive and the
+viewer's DEV pane drives a real dongle across the network.
+
+Protocol (rtl_tcp.c in librtlsdr): commands
+  0x01 set_freq        0x02 set_sample_rate   0x03 set_gain_mode
+  0x04 set_gain(0.1dB) 0x05 set_freq_corr(ppm) 0x08 set_agc_mode
+  0x09 set_direct_sampling  0x0d set_bias_tee
+Samples are unsigned 8-bit I/Q pairs; full scale maps to |x| = 1.0
+(the framework's ADC convention, ops/cplx.py).
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+import threading
+
+import numpy as np
+
+MAGIC = b"RTL0"
+
+CMD_SET_FREQ = 0x01
+CMD_SET_SAMPLE_RATE = 0x02
+CMD_SET_GAIN_MODE = 0x03
+CMD_SET_GAIN = 0x04
+CMD_SET_FREQ_CORR = 0x05
+CMD_SET_AGC_MODE = 0x08
+CMD_SET_DIRECT_SAMPLING = 0x09
+CMD_SET_BIAS_TEE = 0x0D
+
+TUNER_NAMES = {0: "UNKNOWN", 1: "E4000", 2: "FC0012", 3: "FC0013",
+               4: "FC2580", 5: "R820T", 6: "R828D"}
+
+# librtlsdr auto-switches to direct sampling below the tuner range —
+# the reference models this on the fake driver (utils direct-sampling
+# auto-switch, receiver.py:671-680)
+DIRECT_SAMPLING_BELOW_HZ = 24e6
+
+# CU8 -> float32 lookup: (u8 - 127.5) / 127.5, built once
+_CU8_LUT = ((np.arange(256, dtype=np.float32) - 127.5)
+            / np.float32(127.5))
+
+
+class RtlTcpSource:
+    """Block-pull source over a live rtl_tcp server.
+
+    Same consumer surface as DatReader/SynthSource (`read_data(n)`,
+    `read_packed(n)`, `.srate`, `.fc`) plus the Soapy-shaped setters the
+    device pane uses (set_gain / set_freq_correction / set_antenna).
+    A reader thread drains the socket into a ring so the radio never
+    back-pressures the dongle (the reference's async-stream + ring
+    pattern, utils.py:98-120).
+    """
+
+    def __init__(self, host: str, port: int, fs: float, fc: float,
+                 gain_db: float | None = None, ppm: float = 0.0,
+                 ring_samples: int = 1 << 22, timeout: float = 5.0,
+                 agc: bool = False, bias_tee: bool = False):
+        self.srate = float(fs)
+        self.fc = float(fc)
+        self._sock = socket.create_connection((host, port),
+                                              timeout=timeout)
+        self._sock.settimeout(timeout)
+        hdr = self._recv_exact(12)
+        if hdr[:4] != MAGIC:
+            self._sock.close()
+            raise ConnectionError(
+                f"{host}:{port} is not an rtl_tcp server "
+                f"(magic {hdr[:4]!r})")
+        self.tuner_type, self.tuner_gain_count = struct.unpack(
+            ">II", hdr[4:])
+        self.tuner = TUNER_NAMES.get(self.tuner_type, "UNKNOWN")
+        self.rf_gain_db = 0.0
+        self.ppm = 0.0
+        self.antenna = "RX"
+        self.direct_sampling = 0
+        self.dropped = 0
+
+        # device bring-up, reference setupSDR order (utils.py:292-353)
+        self._cmd(CMD_SET_SAMPLE_RATE, int(round(fs)))
+        if ppm:
+            self.set_freq_correction(ppm)
+        self.set_freq(fc)
+        if gain_db is None:
+            self._cmd(CMD_SET_GAIN_MODE, 0)          # tuner AGC
+        else:
+            self._cmd(CMD_SET_GAIN_MODE, 1)
+            self.set_gain(gain_db)
+        self._cmd(CMD_SET_AGC_MODE, 1 if agc else 0)
+        if bias_tee:
+            self._cmd(CMD_SET_BIAS_TEE, 1)
+
+        # SPSC byte ring drained by a reader thread
+        self._ring = bytearray(ring_samples * 2)
+        self._rsize = len(self._ring)
+        self._w = 0                  # total bytes written (mono counter)
+        self._r = 0                  # total bytes read
+        self._lock = threading.Lock()
+        self._avail = threading.Condition(self._lock)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._pump, daemon=True)
+        self._thread.start()
+
+    # ---- protocol ----
+
+    def _recv_exact(self, n: int) -> bytes:
+        buf = b""
+        while len(buf) < n:
+            chunk = self._sock.recv(n - len(buf))
+            if not chunk:
+                raise ConnectionError("rtl_tcp server closed")
+            buf += chunk
+        return buf
+
+    def _cmd(self, cmd: int, value: int):
+        self._sock.sendall(struct.pack(">BI", cmd, value & 0xFFFFFFFF))
+
+    # ---- Soapy-shaped device surface (reference utils.py:122-273) ----
+
+    def set_freq(self, fc_hz: float):
+        """Tune the dongle; auto-switches direct sampling below the
+        tuner range like librtlsdr (reference receiver.py:671-680)."""
+        want_ds = 2 if fc_hz < DIRECT_SAMPLING_BELOW_HZ else 0
+        if want_ds != self.direct_sampling:
+            self._cmd(CMD_SET_DIRECT_SAMPLING, want_ds)
+            self.direct_sampling = want_ds
+        self._cmd(CMD_SET_FREQ, int(round(fc_hz)))
+        self.fc = float(fc_hz)
+
+    def set_gain(self, db: float):
+        self._cmd(CMD_SET_GAIN, int(round(db * 10.0)))
+        self.rf_gain_db = float(db)
+
+    def get_gain(self) -> float:
+        return self.rf_gain_db
+
+    def set_freq_correction(self, ppm: float):
+        self._cmd(CMD_SET_FREQ_CORR, int(round(ppm)))
+        self.ppm = float(ppm)
+
+    def get_freq_correction(self) -> float:
+        return self.ppm
+
+    def set_antenna(self, name: str):
+        self.antenna = name          # RTL has one port; carried as state
+
+    def get_antenna(self) -> str:
+        return self.antenna
+
+    # ---- the stream ----
+
+    def _pump(self):
+        try:
+            while not self._stop.is_set():
+                data = self._sock.recv(65536)
+                if not data:
+                    return
+                with self._avail:
+                    free = self._rsize - (self._w - self._r)
+                    if len(data) > free:
+                        # radio never back-pressures: drop OLDEST by
+                        # advancing the read cursor (whole IQ pairs)
+                        need = len(data) - free
+                        need += need % 2
+                        self._r += need
+                        self.dropped += need // 2
+                    pos = self._w % self._rsize
+                    first = min(len(data), self._rsize - pos)
+                    self._ring[pos:pos + first] = data[:first]
+                    if first < len(data):
+                        self._ring[:len(data) - first] = data[first:]
+                    self._w += len(data)
+                    self._avail.notify_all()
+        except OSError:
+            pass
+        finally:
+            with self._avail:
+                self._stop.set()
+                self._avail.notify_all()
+
+    def _read_bytes(self, nbytes: int, timeout: float) -> bytes:
+        with self._avail:
+            ok = self._avail.wait_for(
+                lambda: (self._w - self._r) >= nbytes
+                or self._stop.is_set(), timeout)
+            have = min(nbytes, self._w - self._r)
+            if not ok and have < nbytes:
+                have -= have % 2
+            pos = self._r % self._rsize
+            first = min(have, self._rsize - pos)
+            out = bytes(self._ring[pos:pos + first]) + \
+                bytes(self._ring[:have - first])
+            self._r += have
+            return out
+
+    def read_data(self, n: int, loop: bool = True,
+                  timeout: float = 10.0) -> np.ndarray:
+        """n complex64 samples (blocks until available or stream end)."""
+        raw = np.frombuffer(self._read_bytes(2 * n, timeout), np.uint8)
+        f = _CU8_LUT[raw]
+        return (f[0::2] + 1j * f[1::2]).astype(np.complex64)
+
+    def read_packed(self, n: int, timeout: float = 10.0) -> np.ndarray:
+        """Executive fast path: float32 (m, 2) packed re/im pairs."""
+        raw = np.frombuffer(self._read_bytes(2 * n, timeout), np.uint8)
+        return _CU8_LUT[raw].reshape(-1, 2)
+
+    def close(self):
+        self._stop.set()
+        try:
+            self._sock.shutdown(socket.SHUT_RDWR)
+        except OSError:
+            pass
+        self._sock.close()
+        if self._thread.is_alive():
+            self._thread.join(timeout=2.0)
+
+
+class FakeRtlTcpServer:
+    """In-process rtl_tcp protocol server for hardware-free tests/CI:
+    serves a caller-supplied IQ block (CU8-quantized, looped) and
+    records every command it receives — the network analogue of the
+    reference's fake RTL driver (utils.py:71-273)."""
+
+    def __init__(self, iq: np.ndarray, tuner_type: int = 5,
+                 gain_count: int = 29, chunk: int = 16384,
+                 rate_sps: float | None = None):
+        u = np.clip(np.rint(
+            np.stack([iq.real, iq.imag], -1) * 127.5 + 127.5),
+            0, 255).astype(np.uint8)
+        self._payload = u.reshape(-1).tobytes()
+        self._hdr = MAGIC + struct.pack(">II", tuner_type, gain_count)
+        self.commands: list[tuple[int, int]] = []
+        self.chunk = chunk
+        self.rate_sps = rate_sps          # None = as fast as TCP goes
+        self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._srv.bind(("127.0.0.1", 0))
+        self._srv.listen(1)
+        self.port = self._srv.getsockname()[1]
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._serve, daemon=True)
+        self._thread.start()
+
+    def _serve(self):
+        import time
+        self._srv.settimeout(0.2)
+        conn = None
+        while not self._stop.is_set() and conn is None:
+            try:
+                conn, _ = self._srv.accept()
+            except socket.timeout:
+                continue
+        if conn is None:
+            return
+        conn.sendall(self._hdr)
+        conn.settimeout(0.05)
+        pos = 0
+        try:
+            while not self._stop.is_set():
+                try:
+                    cmd = conn.recv(5)
+                    while len(cmd) == 5:
+                        c, v = struct.unpack(">BI", cmd)
+                        self.commands.append((c, v))
+                        cmd = conn.recv(5)
+                    if cmd == b"":
+                        return
+                except socket.timeout:
+                    pass
+                end = min(pos + self.chunk * 2, len(self._payload))
+                conn.sendall(self._payload[pos:end])
+                if self.rate_sps:
+                    time.sleep((end - pos) / 2 / self.rate_sps)
+                pos = end % len(self._payload)
+        except OSError:
+            pass
+        finally:
+            conn.close()
+
+    def stop(self):
+        self._stop.set()
+        self._thread.join(timeout=2.0)
+        self._srv.close()

@@ -1,0 +1,127 @@
+"""rtl_tcp network source: protocol client + fake server + full app
+chain (the network path to live RTL hardware — reference reaches
+dongles over USB via librtlsdr, BUILD_RTL:37-99; a TPU host uses the
+dongle's standard rtl_tcp server instead)."""
+
+import numpy as np
+
+from pysdr_tpu import app as app_mod
+from pysdr_tpu.io import rtltcp
+
+
+def _am_iq(fs, n, offset_hz, audio_hz=400.0, amp=0.4):
+    t = np.arange(n) / fs
+    m = 0.5 * np.sin(2 * np.pi * audio_hz * t)
+    return (amp * (1 + m) * np.exp(2j * np.pi * offset_hz * t)
+            ).astype(np.complex64)
+
+
+def test_rtltcp_handshake_commands_and_stream():
+    fs = 256e3
+    iq = _am_iq(fs, 1 << 16, offset_hz=60e3)
+    srv = rtltcp.FakeRtlTcpServer(iq)
+    try:
+        src = rtltcp.RtlTcpSource("127.0.0.1", srv.port, fs=fs,
+                                  fc=100e6, gain_db=28.0, ppm=-2)
+        assert src.tuner == "R820T"
+        x = src.read_data(1 << 15)
+        assert x.dtype == np.complex64 and len(x) == 1 << 15
+        # CU8 quantization floor: the stream matches the source signal
+        err = x - iq[: 1 << 15]
+        snr = 10 * np.log10(float(np.sum(np.abs(iq[:1 << 15]) ** 2))
+                            / float(np.sum(np.abs(err) ** 2)))
+        assert snr > 35.0, snr
+        # packed fast path agrees
+        xp = src.read_packed(4096)
+        assert xp.shape == (4096, 2) and xp.dtype == np.float32
+        # device bring-up commands arrived in setupSDR order
+        src.set_gain(12.0)
+        src.set_freq_correction(3.0)
+        src.close()
+        import time
+        time.sleep(0.2)
+        cmds = dict()
+        for c, v in srv.commands:
+            cmds.setdefault(c, []).append(v)
+        assert cmds[rtltcp.CMD_SET_SAMPLE_RATE] == [int(fs)]
+        assert int(100e6) in cmds[rtltcp.CMD_SET_FREQ]
+        assert 280 in cmds[rtltcp.CMD_SET_GAIN]     # 28.0 dB -> 0.1 dB
+        assert 120 in cmds[rtltcp.CMD_SET_GAIN]
+        assert cmds[rtltcp.CMD_SET_FREQ_CORR][0] == (-2) & 0xFFFFFFFF
+    finally:
+        srv.stop()
+
+
+def test_rtltcp_direct_sampling_autoswitch():
+    """Tuning below 24 MHz auto-switches to direct sampling like
+    librtlsdr (reference direct-sampling auto-switch,
+    receiver.py:671-680)."""
+    fs = 256e3
+    srv = rtltcp.FakeRtlTcpServer(_am_iq(fs, 1 << 14, 10e3))
+    try:
+        src = rtltcp.RtlTcpSource("127.0.0.1", srv.port, fs=fs, fc=100e6)
+        src.set_freq(7.0e6)            # HF -> direct sampling mode 2
+        assert src.direct_sampling == 2
+        src.set_freq(100e6)            # back to quadrature
+        assert src.direct_sampling == 0
+        src.close()
+        import time
+        time.sleep(0.2)
+        ds = [v for c, v in srv.commands
+              if c == rtltcp.CMD_SET_DIRECT_SAMPLING]
+        assert ds == [2, 0]
+    finally:
+        srv.stop()
+
+
+def test_rtltcp_overflow_drops_oldest():
+    fs = 256e3
+    srv = rtltcp.FakeRtlTcpServer(_am_iq(fs, 1 << 16, 60e3))
+    try:
+        src = rtltcp.RtlTcpSource("127.0.0.1", srv.port, fs=fs, fc=100e6,
+                                  ring_samples=1 << 14)
+        import time
+        time.sleep(1.0)                # server floods the tiny ring
+        assert src.dropped > 0
+        x = src.read_data(1 << 12)     # stream still coherent
+        assert len(x) == 1 << 12
+        src.close()
+    finally:
+        srv.stop()
+
+
+def test_app_rtltcp_full_chain(tmp_path):
+    """--rtl-tcp through the COMPLETE app: fake dongle -> network CU8 ->
+    executive -> AM demod -> wav carries the 400 Hz tone; the viewerless
+    device model (gain/ppm) programs the dongle."""
+    import wave
+
+    fs = 256e3
+    # the app derives foffset = min(0.25*fs, 120e3) = 64 kHz for 1 RX;
+    # put the station AT the dial: offset from SDR center = +64 kHz
+    iq = _am_iq(fs, 1 << 17, offset_hz=64e3)
+    srv = rtltcp.FakeRtlTcpServer(iq, rate_sps=2 * fs)
+    try:
+        prefix = str(tmp_path / "net")
+        args = app_mod.build_parser().parse_args(
+            ["--rtl-tcp", f"127.0.0.1:{srv.port}", "--fs", "0.256",
+             "--fc", "100.0", "--block", "4096", "--blocks", "8",
+             "--rf-gain", "28", "--wav", prefix])
+        a = app_mod.App(args)
+        a.run()
+        w = wave.open(prefix + "_rx0.wav")
+        d = np.frombuffer(w.readframes(w.getnframes()), np.int16).reshape(
+            -1, w.getnchannels())[:, 0].astype(np.float32)
+        assert len(d) >= 4096 * 6
+        seg = d[len(d) // 2:]
+        sp = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+        pk = np.fft.rfftfreq(len(seg), 1.0 / w.getframerate())[
+            5 + np.argmax(sp[5:])]
+        assert abs(pk - 400.0) < 10.0, pk
+        # the dongle was programmed: srate, center freq, manual gain
+        cmds = [c for c, _ in srv.commands]
+        assert rtltcp.CMD_SET_SAMPLE_RATE in cmds
+        assert rtltcp.CMD_SET_FREQ in cmds
+        assert (rtltcp.CMD_SET_GAIN, 280) in srv.commands
+    finally:
+        srv.stop()
