@@ -466,6 +466,18 @@ class App:
             psd_callback=self._on_block, loop_source=not args.no_loop,
             wire=args.wire, pipeline_depth=args.pipeline_depth)
 
+        # device-follow retune: a main-RX tune outside the passband
+        # moves the physical front-end when the source can (rtl_tcp,
+        # synth; the reference's FreqSelect setFrequency(f2-FOFFSET),
+        # gui.py:1938-1944). Runs in the executive thread at the block
+        # boundary the retune applies on.
+        inner_bank = getattr(self.bank, "bank", self.bank)  # mesh adapter
+        if hasattr(inner_bank, "on_device_retune") \
+                and hasattr(self.source, "set_freq"):
+            tv = getattr(cfg, "transverter_hz", 0.0)
+            inner_bank.on_device_retune = \
+                lambda center: self.source.set_freq(center + tv)
+
         # audio sinks: wav files or null (no sound card on a TPU host)
         from pysdr_tpu.runtime.audio import (FifoSink, TeeSink, WavSink,
                                              aux_bandpass_taps,

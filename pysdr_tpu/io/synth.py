@@ -74,7 +74,8 @@ class SynthSource:
                  ppm: float = 0.0, antenna: str = "RX"):
         self.specs, self.fs, self.noise_rms = tuple(specs), fs, noise_rms
         self.seed, self.fc = seed, fc
-        self.rf_gain_db = rf_gain_db
+        self._fc0 = fc                # construction-time center: spec
+        self.rf_gain_db = rf_gain_db  # offsets are relative to this
         self.ppm = ppm
         self.antenna = antenna
         self._n_read = 0
@@ -103,9 +104,21 @@ class SynthSource:
     def get_antenna(self) -> str:
         return self.antenna
 
+    def set_freq(self, fc_hz: float):
+        """Retune the simulated front-end (the reference fake driver's
+        setFrequency, utils.py:122-273): the emitters stay at their
+        absolute frequencies, so their offsets inside the passband shift
+        by -(new_fc - old_fc)."""
+        self.fc = float(fc_hz)
+
     def read_data(self, n: int, loop: bool = True):
         t0 = self._n_read / self.fs
-        x = render(self.specs, self.fs, n, self.noise_rms, self.seed,
+        specs = self.specs
+        if self.fc != self._fc0:
+            shift = self._fc0 - self.fc
+            specs = tuple(dataclasses.replace(
+                s, offset_hz=s.offset_hz + shift) for s in specs)
+        x = render(specs, self.fs, n, self.noise_rms, self.seed,
                    t0=t0)
         if self.ppm:
             df = -self.fc * self.ppm * 1e-6

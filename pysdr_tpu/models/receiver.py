@@ -142,6 +142,14 @@ class ReceiverBank:
         self.emit_baseband = emit_baseband
 
         self._rx_cfgs = list(cfg.receivers)
+        # the device tuner's dial-frequency anchor (center of the
+        # passband in dial terms). Moves only on a main-RX out-of-band
+        # retune via on_device_retune (the reference's FreqSelect device
+        # retune, gui.py:1938-1944); all NCO offsets derive from it.
+        self._center_dial = cfg.receivers[0].fc_hz - cfg.foffset_hz
+        # host callback(new_center_dial_hz): retune the physical source
+        # (set by the app when the source supports it, e.g. rtl_tcp)
+        self.on_device_retune = None
         self.params = self._build_params()
         state_c = self.init_state()                     # host numpy tree
         packed, self._state_mask = cplx.pack_tree(state_c)  # host float32
@@ -170,9 +178,13 @@ class ReceiverBank:
         return tables.find_filter_index(rc.video_bw_hz, self.video_bws)
 
     def _build_params(self) -> ChannelParams:
-        offs = self.cfg.channel_offsets_hz()
-        plist = [self._params_for(rc, off)
-                 for rc, off in zip(self._rx_cfgs, offs)]
+        # NCO offsets from the CURRENT per-RX dials against the device
+        # center anchor: cfg.channel_offsets_hz snapshots the
+        # construction-time receivers, so deriving from it made every
+        # later retune a dial-display-only no-op (the DSP kept listening
+        # at the old frequency) — caught round 4
+        plist = [self._params_for(rc, rc.fc_hz - self._center_dial)
+                 for rc in self._rx_cfgs]
         # host-side shadow of the video rows: any consumer needing the
         # values must NOT pull the device array — a device->host read
         # outside the streaming path stalls for minutes on the axon
@@ -261,10 +273,24 @@ class ReceiverBank:
         self.params = self._build_params()
 
     def retune(self, i: int, fc_hz: float):
-        """Reference FreqSelect (gui.py:1900-2038): main RX retune moves
-        the device center (a host/source concern — see runtime/); sub-RX
-        retunes re-derive the NCO offsets. Here both are the same pure
-        update of the per-channel NCO numerators."""
+        """Reference FreqSelect (gui.py:1900-2038): in-passband retunes
+        are pure NCO-numerator updates; a MAIN-RX retune that leaves the
+        passband moves the DEVICE (gui.py:1938-1944
+        `setFrequency(f2-FOFFSET)`) via on_device_retune when the source
+        supports it, re-anchoring every channel's offset."""
+        half = self.cfg.fs_in / 2
+        if abs(fc_hz - self._center_dial) >= half:
+            if i == 0 and self.on_device_retune is not None:
+                self._center_dial = fc_hz - self.cfg.foffset_hz
+                self.on_device_retune(self._center_dial)
+            else:
+                import warnings
+                warnings.warn(
+                    f"RX{i} retune to {fc_hz / 1e6:.3f} MHz is outside "
+                    f"the current passband (center "
+                    f"{self._center_dial / 1e6:.3f} MHz ± "
+                    f"{half / 1e6:.3f} MHz) and the source cannot "
+                    "retune: reception will alias", stacklevel=2)
         self._update(i, fc_hz=fc_hz)
 
     def set_mode(self, i: int, mode: Mode):

@@ -125,3 +125,106 @@ def test_mode_change_no_recompile():
         bank.set_mode(0, m)
         run_bank(bank, specs, 1)
     assert bank._step._cache_size() == n
+
+
+def test_retune_actually_moves_the_nco():
+    """Round-4 regression: _build_params used to derive NCO offsets from
+    the construction-time cfg snapshot, making every retune a
+    dial-display-only no-op (the DSP kept listening at the old
+    frequency). A retune must move which STATION the audio carries."""
+    import jax.numpy as jnp
+
+    from pysdr_tpu.io import synth
+
+    fs = 512e3
+    cfg = PipelineConfig(
+        fs_in=fs, fs_out=48e3, out_block=3072, foffset_hz=60e3,
+        receivers=(ReceiverConfig(fc_hz=10e6, mode=Mode.AM,
+                                          video_bw_hz=8e3,
+                                          agc_enabled=False),))
+    bank = ReceiverBank(cfg)
+    k0 = int(np.asarray(bank.params.nco_k)[0])
+    bank.retune(0, 10.04e6)
+    k1 = int(np.asarray(bank.params.nco_k)[0])
+    assert k1 != k0, "retune left the NCO numerator unchanged"
+
+    # stations: 500 Hz AM at the original dial (+60k), 900 Hz at +100k
+    x = synth.render(
+        [synth.SignalSpec(offset_hz=60e3, mode="am", amplitude=0.35,
+                          audio_hz=500.0),
+         synth.SignalSpec(offset_hz=100e3, mode="am", amplitude=0.35,
+                          audio_hz=900.0)], fs, 4 * 32768, noise_rms=0.001)
+
+    def tone_of(bank):
+        outs = []
+        for b in np.split(np.asarray(x), len(x) // bank.design.in_block):
+            outs.append(np.asarray(bank.step(jnp.asarray(b)))[0])
+        a = np.concatenate(outs).real
+        seg = a[len(a) // 2:]
+        sp = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+        return np.fft.rfftfreq(len(seg), 1 / 48e3)[5 + np.argmax(sp[5:])]
+
+    assert abs(tone_of(bank) - 900.0) < 10.0       # retuned dial: +100k
+
+    bank.retune(0, 10.0e6)                          # back to the original
+    assert abs(tone_of(bank) - 500.0) < 10.0
+
+
+def test_device_follow_retune_out_of_band():
+    """Main-RX retune OUTSIDE the passband moves the device via
+    on_device_retune and re-anchors every channel's offset (reference
+    FreqSelect setFrequency(f2-FOFFSET), gui.py:1938-1944); without a
+    capable source it warns about aliasing."""
+    import warnings
+
+    cfg = PipelineConfig(
+        fs_in=512e3, fs_out=48e3, out_block=3072, foffset_hz=60e3,
+        receivers=(ReceiverConfig(fc_hz=10e6, mode=Mode.AM),
+                   ReceiverConfig(fc_hz=10.05e6, mode=Mode.AM)))
+    bank = ReceiverBank(cfg)
+    moves = []
+    bank.on_device_retune = moves.append
+    bank.retune(0, 14.1e6)               # way outside ±256 kHz
+    assert moves == [14.1e6 - 60e3]      # new center = dial - foffset
+    # RX0 sits at foffset again; RX1 offset re-anchored (now aliased
+    # territory relative to the new center — it kept its absolute dial)
+    from pysdr_tpu.ops import nco
+    k0 = int(np.asarray(bank.params.nco_k)[0])
+    assert k0 == nco.snap_freq(60e3, 512e3)
+    # sub-RX out-of-band retune with no device authority: warns
+    bank2 = ReceiverBank(cfg)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        bank2.retune(1, 20e6)
+        assert any("alias" in str(x.message) for x in w)
+
+
+def test_device_follow_end_to_end_synth():
+    """Full chain: tuning the only RX to a station OUTSIDE the passband
+    retunes the simulated front-end and the audio then carries that
+    station's tone (the whole point of follow: the operator just types a
+    far-away frequency)."""
+    import jax.numpy as jnp
+
+    from pysdr_tpu import app as app_mod
+
+    args = app_mod.build_parser().parse_args(
+        ["--fs", "0.512", "--fc", "0.6", "--block", "3072"])
+    a = app_mod.App(args)
+    # default synth: 400 Hz AM at the 0.6 MHz dial. Add a second station
+    # 2 MHz away (outside the 512 kHz passband) at 900 Hz.
+    from pysdr_tpu.io import synth
+    import dataclasses as dc
+    far_off = (2.6e6 - a.source.fc)      # absolute 2.6 MHz
+    a.source.specs = a.source.specs + (dc.replace(
+        a.source.specs[0], offset_hz=far_off, audio_hz=900.0),)
+    a.ex.run(n_blocks=4)
+    a.ex.post("retune", 0, 2.6e6)        # out-of-band -> device follows
+    a.ex.run(n_blocks=12)
+    ring = a.ex.audio_rings[0]
+    audio = ring.pull(ring.nsamps).real
+    seg = audio[-3 * 3072:]
+    sp = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+    pk = np.fft.rfftfreq(len(seg), 1 / 48e3)[5 + np.argmax(sp[5:])]
+    assert abs(pk - 900.0) < 10.0, pk
+    assert a.source.fc == 2.6e6 - 120e3  # center = dial - foffset

@@ -125,3 +125,27 @@ def test_app_rtltcp_full_chain(tmp_path):
         assert (rtltcp.CMD_SET_GAIN, 280) in srv.commands
     finally:
         srv.stop()
+
+
+def test_rtltcp_device_follow_retune():
+    """An out-of-passband retune posted to the running app re-tunes the
+    networked dongle (CMD_SET_FREQ with the new center)."""
+    fs = 256e3
+    iq = _am_iq(fs, 1 << 16, offset_hz=64e3)
+    srv = rtltcp.FakeRtlTcpServer(iq, rate_sps=4 * fs)
+    try:
+        args = app_mod.build_parser().parse_args(
+            ["--rtl-tcp", f"127.0.0.1:{srv.port}", "--fs", "0.256",
+             "--fc", "100.0", "--block", "4096"])
+        a = app_mod.App(args)
+        a.ex.run(n_blocks=2)
+        a.ex.post("retune", 0, 145.2e6)       # far outside the passband
+        a.ex.run(n_blocks=4)
+        a.source.close()
+        import time
+        time.sleep(0.2)
+        freqs = [v for c, v in srv.commands if c == rtltcp.CMD_SET_FREQ]
+        # startup tune + follow tune to the new center (dial - foffset)
+        assert int(145.2e6 - 64e3) in freqs, freqs
+    finally:
+        srv.stop()
