@@ -228,3 +228,41 @@ def test_device_follow_end_to_end_synth():
     pk = np.fft.rfftfreq(len(seg), 1 / 48e3)[5 + np.argmax(sp[5:])]
     assert abs(pk - 900.0) < 10.0, pk
     assert a.source.fc == 2.6e6 - 120e3  # center = dial - foffset
+
+
+def test_runtime_bw_swaps_affect_audio():
+    """Behavior-level guard for the filter-bank swap paths (the
+    retune-no-op lesson: cfg assertions alone can hide a dead control
+    path): a neighbor station leaking through the Max video filter must
+    be rejected after a runtime set_video_bw, and further attenuated by
+    a runtime set_af_bw."""
+    fs = 512e3
+    cfg = PipelineConfig(
+        fs_in=fs, fs_out=48e3, out_block=3072, foffset_hz=60e3,
+        receivers=(ReceiverConfig(fc_hz=10e6, mode=Mode.AM,
+                                  agc_enabled=False),))
+    bank = ReceiverBank(cfg)
+    x = synth.render(
+        [synth.SignalSpec(offset_hz=60e3, mode="am", amplitude=0.3,
+                          audio_hz=400.0),
+         synth.SignalSpec(offset_hz=80e3, mode="am", amplitude=0.3,
+                          audio_hz=5000.0)], fs, 32768 * 4,
+        noise_rms=0.001)
+
+    def own_over_leak(bank):
+        outs = [np.asarray(bank.step(jnp.asarray(b)))[0]
+                for b in np.split(np.asarray(x), 4)]
+        a = np.concatenate(outs).real
+        seg = a[len(a) // 2:]
+        sp = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+        f = np.fft.rfftfreq(len(seg), 1 / 48e3)
+        return (sp[np.argmin(abs(f - 400))]
+                / sp[np.argmin(abs(f - 5000))])
+
+    r_max = own_over_leak(bank)
+    bank.set_video_bw(0, 8e3)
+    r_video = own_over_leak(bank)
+    assert r_video > 10 * r_max, (r_max, r_video)
+    bank.set_af_bw(0, 2e3)
+    r_af = own_over_leak(bank)
+    assert r_af > 10 * r_video, (r_video, r_af)
