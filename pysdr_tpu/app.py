@@ -102,10 +102,12 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--synth-noise", type=float, default=0.001,
                     help="noise RMS for the synthetic source (-fake "
                          "equivalent, utils.py:71-273)")
-    ap.add_argument("--rf-gain", type=float, default=0.0, metavar="DB",
+    ap.add_argument("--rf-gain", type=float, default=None, metavar="DB",
                     help="front-end RF gain applied by the source "
                          "(reference setupSDR gain staging, "
-                         "utils.py:292-353)")
+                         "utils.py:292-353). For --rtl-tcp, omitting it "
+                         "selects the tuner's hardware AGC; an explicit "
+                         "value — including 0 — pins manual gain")
     ap.add_argument("--ppm", type=float, default=0.0,
                     help="front-end frequency-correction error in ppm "
                          "(reference PPM correction, utils.py:292-353)")
@@ -288,7 +290,7 @@ def build_source(args, cfg: cfg_mod.PipelineConfig):
         src = rtltcp.RtlTcpSource(
             host or "127.0.0.1", int(port or 1234),
             fs=cfg.fs_in, fc=cfg.sdr_center_hz,
-            gain_db=args.rf_gain if args.rf_gain else None,
+            gain_db=args.rf_gain,
             ppm=args.ppm)
         return src, cfg.fs_in, cfg.sdr_center_hz
     # synthetic passband: one station per requested channel
@@ -304,7 +306,7 @@ def build_source(args, cfg: cfg_mod.PipelineConfig):
             audio_hz=400.0 * (i + 1)))
     src = synth.SynthSource(specs, cfg.fs_in, noise_rms=args.synth_noise,
                             fc=cfg.sdr_center_hz,
-                            rf_gain_db=args.rf_gain, ppm=args.ppm)
+                            rf_gain_db=args.rf_gain or 0.0, ppm=args.ppm)
     return src, cfg.fs_in, cfg.sdr_center_hz
 
 
@@ -348,7 +350,7 @@ def build_channelizer(args):
         host, _, port = args.rtl_tcp.partition(":")
         return bank, rtltcp.RtlTcpSource(
             host or "127.0.0.1", int(port or 1234), fs=fs_in, fc=fc,
-            gain_db=args.rf_gain if args.rf_gain else None,
+            gain_db=args.rf_gain,
             ppm=args.ppm), cfg
     # synthetic passband: one AM station on every 4th channel center
     offs = cfg.center_freqs_hz() - fc
@@ -630,10 +632,9 @@ class App:
         # once, and only on blocks that consume it (RTTY needs every
         # block; the BB display only every decimate-th).
         bb_host = None
-        need_bb_display = (self.display is not None and self.display.bb
+        need_bb_display = (self.display is not None
                            and ex.drained_bb is not None
-                           and self.display._n % self.display.decimate
-                           == self.display.decimate - 1)
+                           and self.display.wants_next_bb())
         if (self.rtty is not None or need_bb_display) \
                 and ex.drained_bb is not None:
             bb_host = np.asarray(ex.drained_bb).reshape(

@@ -100,11 +100,16 @@ class RtlTcpSource:
         if bias_tee:
             self._cmd(CMD_SET_BIAS_TEE, 1)
 
-        # SPSC byte ring drained by a reader thread
+        # SPSC byte ring drained by a reader thread. Invariant: every
+        # ring write/read/drop is an EVEN byte count (whole I/Q pairs) —
+        # an odd recv tail is held in _partial until its mate arrives —
+        # so the cursors always sit on pair boundaries and drop-oldest
+        # can never desync I from Q.
         self._ring = bytearray(ring_samples * 2)
         self._rsize = len(self._ring)
         self._w = 0                  # total bytes written (mono counter)
         self._r = 0                  # total bytes read
+        self._partial = b""
         self._lock = threading.Lock()
         self._avail = threading.Condition(self._lock)
         self._stop = threading.Event()
@@ -165,13 +170,27 @@ class RtlTcpSource:
                 data = self._sock.recv(65536)
                 if not data:
                     return
+                data = self._partial + data
+                if len(data) % 2:
+                    self._partial = data[-1:]
+                    data = data[:-1]
+                else:
+                    self._partial = b""
+                if not data:
+                    continue
                 with self._avail:
+                    if len(data) > self._rsize:
+                        # one recv bigger than the whole ring: only the
+                        # newest ring-full survives
+                        cut = len(data) - self._rsize
+                        self.dropped += cut // 2
+                        data = data[cut:]
                     free = self._rsize - (self._w - self._r)
                     if len(data) > free:
                         # radio never back-pressures: drop OLDEST by
-                        # advancing the read cursor (whole IQ pairs)
+                        # advancing the read cursor (all quantities are
+                        # even, so `need` is even and <= the backlog)
                         need = len(data) - free
-                        need += need % 2
                         self._r += need
                         self.dropped += need // 2
                     pos = self._w % self._rsize
@@ -189,13 +208,23 @@ class RtlTcpSource:
                 self._avail.notify_all()
 
     def _read_bytes(self, nbytes: int, timeout: float) -> bytes:
+        if nbytes > self._rsize:
+            raise ValueError(
+                f"block of {nbytes // 2} samples exceeds the "
+                f"{self._rsize // 2}-sample ring: raise ring_samples or "
+                "lower --block")
         with self._avail:
             ok = self._avail.wait_for(
                 lambda: (self._w - self._r) >= nbytes
                 or self._stop.is_set(), timeout)
+            if not ok and not self._stop.is_set():
+                # live hardware stalled: fail loudly rather than
+                # consuming a partial block and masquerading as EOF
+                raise TimeoutError(
+                    f"rtl_tcp: no data for {timeout:.0f} s "
+                    "(server/dongle stalled?)")
+            # stream ended: hand over whatever whole pairs remain
             have = min(nbytes, self._w - self._r)
-            if not ok and have < nbytes:
-                have -= have % 2
             pos = self._r % self._rsize
             first = min(have, self._rsize - pos)
             out = bytes(self._ring[pos:pos + first]) + \
@@ -266,16 +295,21 @@ class FakeRtlTcpServer:
         conn.sendall(self._hdr)
         conn.settimeout(0.05)
         pos = 0
+        cmdbuf = b""
         try:
             while not self._stop.is_set():
                 try:
-                    cmd = conn.recv(5)
-                    while len(cmd) == 5:
-                        c, v = struct.unpack(">BI", cmd)
-                        self.commands.append((c, v))
-                        cmd = conn.recv(5)
-                    if cmd == b"":
-                        return
+                    while True:
+                        data = conn.recv(4096)
+                        if data == b"":
+                            return
+                        # commands may straddle recv boundaries: buffer
+                        # and parse whole 5-byte units
+                        cmdbuf += data
+                        while len(cmdbuf) >= 5:
+                            c, v = struct.unpack(">BI", cmdbuf[:5])
+                            self.commands.append((c, v))
+                            cmdbuf = cmdbuf[5:]
                 except socket.timeout:
                     pass
                 end = min(pos + self.chunk * 2, len(self._payload))

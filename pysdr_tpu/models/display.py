@@ -345,6 +345,13 @@ class DisplayEngine:
             self.frames[box.tag] = box.update(
                 np.ascontiguousarray(audio[i]))
 
+    def wants_next_bb(self) -> bool:
+        """True when the NEXT __call__/update_bb pair will consume a
+        baseband block — callers use this to skip the device->host
+        baseband pull on blocks the decimation would discard (the phase
+        arithmetic lives here, next to the counter it depends on)."""
+        return bool(self.bb) and (self._n + 1) % self.decimate == 0
+
     def update_bb(self, bb):
         """Feed the per-RX BASEBAND boxes (the reference's BB domain of
         the three RF/BB/AF plot windows, gui.py:121-221, with its

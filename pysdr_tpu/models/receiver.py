@@ -283,6 +283,20 @@ class ReceiverBank:
             if i == 0 and self.on_device_retune is not None:
                 self._center_dial = fc_hz - self.cfg.foffset_hz
                 self.on_device_retune(self._center_dial)
+                # moving the passband can strand OTHER RXs outside it:
+                # their dials are absolute (the reference's sub-RXs are
+                # expected to live inside the main RX's passband)
+                displaced = [
+                    j for j, rc in enumerate(self._rx_cfgs)
+                    if j != i
+                    and abs(rc.fc_hz - self._center_dial) >= half]
+                if displaced:
+                    import warnings
+                    warnings.warn(
+                        f"device retune to "
+                        f"{self._center_dial / 1e6:.3f} MHz leaves "
+                        f"RX{displaced} outside the passband: retune "
+                        "them or their audio will alias", stacklevel=2)
             else:
                 import warnings
                 warnings.warn(

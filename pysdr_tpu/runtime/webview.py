@@ -241,10 +241,10 @@ async function loadRig(){try{
 async function loadDev(){try{
  const d=await (await fetch('device.json')).json();
  if(!d.ok){document.getElementById('devpane').style.display='none';return;}
- document.getElementById('devgain').value=d.gain_db;
+ const set=(id,v)=>{const e=document.getElementById(id);
+  if(document.activeElement!==e)e.value=v;};
+ set('devgain',d.gain_db);set('devppm',d.ppm);set('devant',d.antenna);
  document.getElementById('devgainv').textContent=d.gain_db+' dB';
- document.getElementById('devppm').value=d.ppm;
- document.getElementById('devant').value=d.antenna;
  document.getElementById('devinfo').textContent=
   (d.fs/1e6).toFixed(3)+' Msps @ '+(d.fc/1e6).toFixed(3)+' MHz';
 }catch(e){}}
