@@ -458,7 +458,10 @@ class App:
             from pysdr_tpu.models.rtty import RTTYDecoder, RTTYDesign
             self.rtty = RTTYDecoder(RTTYDesign(fs=d.fs_out))
             self.rtty_rx = int(args.rtty)
-            self.rtty_text: list[str] = []
+            # bounded: the viewer reads the tail; an unbounded list
+            # leaks over a long monitoring session
+            self.rtty_text: collections.deque = collections.deque(
+                maxlen=1000)
             # rolling decoder-band waterfall rows for the web RTTY panel
             self.rtty_wf: collections.deque = collections.deque(maxlen=50)
 
@@ -605,7 +608,8 @@ class App:
                   "locked": ch.get("snr_db", 0.0) > 0.0,
                   "text": ch.get("text", "")[-80:]}
                  for i, ch in enumerate(self.rtty.channels)]
-        out = {"channels": chans, "lines": self.rtty_text[-100:]}
+        out = {"channels": chans,
+               "lines": list(self.rtty_text)[-100:]}
         if self.rtty_wf:
             wf = np.stack(list(self.rtty_wf))
             step = max(1, wf.shape[1] // 1024)

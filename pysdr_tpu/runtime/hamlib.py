@@ -88,6 +88,10 @@ class RigState:
             return self._get_freq_locked()
 
     def _post_retune(self, target_hz: float):
+        if len(self._known_fc) > 64:
+            # bound the consistency set over long sessions: keep only
+            # the values still plausibly pending/applied
+            self._known_fc = {self._cfg.fc_hz}
         self._known_fc.add(self._cfg.fc_hz)
         self._known_fc.add(target_hz)
         self.ex.post("retune", self.i, target_hz)
