@@ -70,6 +70,29 @@ def probe_synth():
           f"({rate / 1e6:.1f} Msamp/s host generation)")
 
 
+def probe_rtl_tcp(hostport: str):
+    """Connect to an rtl_tcp server and dump its identity + a stream
+    sample (the reference's check_sdr_settings dump, utils.py:358-422,
+    over the network path)."""
+    import numpy as np
+
+    from pysdr_tpu.io import rtltcp
+    host, _, port = hostport.partition(":")
+    src = rtltcp.RtlTcpSource(host or "127.0.0.1", int(port or 1234),
+                              fs=1.024e6, fc=100e6)
+    try:
+        print(f"rtl_tcp {hostport}: tuner={src.tuner} "
+              f"(type {src.tuner_type}), "
+              f"{src.tuner_gain_count} gain steps")
+        x = src.read_data(1 << 15)
+        print(f"  stream: {len(x)} samples  "
+              f"rms={np.sqrt(np.mean(np.abs(x) ** 2)):.4f} "
+              f"peak={np.max(np.abs(x)):.4f} dc={np.mean(x):.5f} "
+              f"dropped={src.dropped}")
+    finally:
+        src.close()
+
+
 def smoke():
     """One tiny end-to-end block on whatever backend is active (the
     reference's `-test` hook, pySDR.py:126-128)."""
@@ -98,6 +121,9 @@ def smoke():
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="pysdr_tpu.probe")
     ap.add_argument("--replay", type=str, default=None)
+    ap.add_argument("--rtl-tcp", type=str, default=None,
+                    metavar="HOST:PORT",
+                    help="probe a live rtl_tcp server")
     ap.add_argument("--smoke", action="store_true",
                     help="compile+run one block end to end")
     ap.add_argument("--devices", type=int, default=0,
@@ -121,6 +147,12 @@ def main(argv=None) -> int:
             print(f"error: {args.replay} not found", file=sys.stderr)
             return 2
         probe_replay(args.replay)
+    if args.rtl_tcp:
+        try:
+            probe_rtl_tcp(args.rtl_tcp)
+        except (OSError, ConnectionError, TimeoutError) as e:
+            print(f"rtl_tcp {args.rtl_tcp}: {e}", file=sys.stderr)
+            return 2
     if args.smoke:
         smoke()
     return 0

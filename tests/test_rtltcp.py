@@ -149,3 +149,19 @@ def test_rtltcp_device_follow_retune():
         assert int(145.2e6 - 64e3) in freqs, freqs
     finally:
         srv.stop()
+
+
+def test_probe_rtl_tcp(capsys):
+    """python -m pysdr_tpu.probe --rtl-tcp dumps the server identity
+    and a stream sample."""
+    from pysdr_tpu import probe
+
+    fs = 256e3
+    srv = rtltcp.FakeRtlTcpServer(_am_iq(fs, 1 << 15, 60e3))
+    try:
+        rc = probe.main(["--rtl-tcp", f"127.0.0.1:{srv.port}"])
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert "tuner=R820T" in out and "rms=" in out
+    finally:
+        srv.stop()
