@@ -46,9 +46,23 @@ TUNER_NAMES = {0: "UNKNOWN", 1: "E4000", 2: "FC0012", 3: "FC0013",
 # auto-switch, receiver.py:671-680)
 DIRECT_SAMPLING_BELOW_HZ = 24e6
 
-# CU8 -> float32 lookup: (u8 - 127.5) / 127.5, built once
+# CU8 -> float32 lookup: (u8 - 127.5) / 127.5, built once. The C++
+# converter from the native source layer (native/sdrio.cpp
+# psdr_convert_cu8, same convention) is preferred when built.
 _CU8_LUT = ((np.arange(256, dtype=np.float32) - 127.5)
             / np.float32(127.5))
+
+
+def _cu8_to_pairs(raw: np.ndarray) -> np.ndarray:
+    """CU8 bytes -> float32 (n, 2) packed pairs (C++ when available)."""
+    try:
+        from pysdr_tpu.runtime import native
+        out = native.convert_cu8(raw)
+        if out is not None:
+            return out
+    except Exception:  # noqa: BLE001 — any native hiccup -> numpy path
+        pass
+    return _CU8_LUT[raw].reshape(-1, 2)
 
 
 class RtlTcpSource:
@@ -235,14 +249,13 @@ class RtlTcpSource:
     def read_data(self, n: int, loop: bool = True,
                   timeout: float = 10.0) -> np.ndarray:
         """n complex64 samples (blocks until available or stream end)."""
-        raw = np.frombuffer(self._read_bytes(2 * n, timeout), np.uint8)
-        f = _CU8_LUT[raw]
-        return (f[0::2] + 1j * f[1::2]).astype(np.complex64)
+        p = self.read_packed(n, timeout)
+        return p.view(np.complex64).reshape(-1)
 
     def read_packed(self, n: int, timeout: float = 10.0) -> np.ndarray:
         """Executive fast path: float32 (m, 2) packed re/im pairs."""
         raw = np.frombuffer(self._read_bytes(2 * n, timeout), np.uint8)
-        return _CU8_LUT[raw].reshape(-1, 2)
+        return _cu8_to_pairs(raw)
 
     def close(self):
         self._stop.set()

@@ -80,6 +80,21 @@ def available() -> bool:
     return _load() is not None
 
 
+def convert_cu8(raw: np.ndarray) -> np.ndarray | None:
+    """CU8 byte stream -> float32 packed pairs via the C++ converter
+    ((u8 - 127.5)/127.5, the RTL ADC convention shared with the file
+    streamer). Returns None when the native library is unavailable so
+    callers can fall back to the numpy LUT."""
+    lib = _load()
+    if lib is None:
+        return None
+    raw = np.ascontiguousarray(raw, np.uint8)
+    out = np.empty(raw.size, np.float32)
+    lib.psdr_convert_cu8(
+        raw.ctypes.data_as(ctypes.c_void_p), _as_fp(out), raw.size)
+    return out.reshape(-1, 2)
+
+
 def _as_fp(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
 

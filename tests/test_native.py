@@ -125,3 +125,21 @@ def test_app_replay_uses_native_streamer(tmp_path):
     assert len(pa) == len(pb)
     np.testing.assert_allclose(pa.astype(np.float32),
                                pb.astype(np.float32), atol=1.0)
+
+
+def test_native_cu8_matches_numpy_lut():
+    """The C++ CU8 converter (used by the rtl_tcp source when built)
+    agrees with the numpy LUT fallback at the float32 ulp."""
+    import numpy as np
+
+    from pysdr_tpu.io import rtltcp
+    from pysdr_tpu.runtime import native
+
+    if not native.available():
+        import pytest
+        pytest.skip("native library not built")
+    raw = np.arange(512, dtype=np.uint8)
+    a = native.convert_cu8(raw)
+    b = rtltcp._CU8_LUT[raw].reshape(-1, 2)
+    # C++ multiplies by 1/127.5f, numpy divides: last-ulp differences
+    np.testing.assert_allclose(a, b, atol=2e-7)
