@@ -266,6 +266,16 @@ def build_config(args) -> cfg_mod.PipelineConfig:
         receivers=rxs)
 
 
+def _rtl_tcp_source(args, fs: float, fc: float):
+    """The one place --rtl-tcp turns into a source (both the receiver
+    and channelizer paths construct through here)."""
+    from pysdr_tpu.io import rtltcp
+    host, _, port = args.rtl_tcp.partition(":")
+    return rtltcp.RtlTcpSource(
+        host or "127.0.0.1", int(port or 1234), fs=fs, fc=fc,
+        gain_db=args.rf_gain, ppm=args.ppm)
+
+
 def build_source(args, cfg: cfg_mod.PipelineConfig):
     """Pick the source, reference-style: -replay beats -fake beats live
     (utils.py:459-621 find_sdr_device). There is no live USB device on a
@@ -285,13 +295,7 @@ def build_source(args, cfg: cfg_mod.PipelineConfig):
         # replay restores fs/fc from the header (receiver.py:810-820)
         return rd, rd.srate, rd.fc
     if args.rtl_tcp:
-        from pysdr_tpu.io import rtltcp
-        host, _, port = args.rtl_tcp.partition(":")
-        src = rtltcp.RtlTcpSource(
-            host or "127.0.0.1", int(port or 1234),
-            fs=cfg.fs_in, fc=cfg.sdr_center_hz,
-            gain_db=args.rf_gain,
-            ppm=args.ppm)
+        src = _rtl_tcp_source(args, cfg.fs_in, cfg.sdr_center_hz)
         return src, cfg.fs_in, cfg.sdr_center_hz
     # synthetic passband: one station per requested channel
     specs = []
@@ -346,12 +350,7 @@ def build_channelizer(args):
         rd = datfile.DatReader(args.replay[0], start_sec=start)
         return bank, rd, cfg
     if args.rtl_tcp:
-        from pysdr_tpu.io import rtltcp
-        host, _, port = args.rtl_tcp.partition(":")
-        return bank, rtltcp.RtlTcpSource(
-            host or "127.0.0.1", int(port or 1234), fs=fs_in, fc=fc,
-            gain_db=args.rf_gain,
-            ppm=args.ppm), cfg
+        return bank, _rtl_tcp_source(args, fs_in, fc), cfg
     # synthetic passband: one AM station on every 4th channel center
     offs = cfg.center_freqs_hz() - fc
     kind = {tables.Mode.NFM: "fm", tables.Mode.USB: "usb",

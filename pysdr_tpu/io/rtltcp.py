@@ -181,7 +181,14 @@ class RtlTcpSource:
     def _pump(self):
         try:
             while not self._stop.is_set():
-                data = self._sock.recv(65536)
+                try:
+                    data = self._sock.recv(65536)
+                except socket.timeout:
+                    # a stalled server is NOT end-of-stream: keep
+                    # waiting here so the consumer's own read timeout
+                    # raises the loud TimeoutError instead of this
+                    # thread silently closing the ring as EOF
+                    continue
                 if not data:
                     return
                 data = self._partial + data

@@ -299,12 +299,16 @@ class ReceiverBank:
                         "them or their audio will alias", stacklevel=2)
             else:
                 import warnings
+                why = ("only a MAIN-RX (RX0) retune moves the device; "
+                       "retune RX0 to move the passband"
+                       if self.on_device_retune is not None
+                       else "the source cannot retune")
                 warnings.warn(
                     f"RX{i} retune to {fc_hz / 1e6:.3f} MHz is outside "
                     f"the current passband (center "
                     f"{self._center_dial / 1e6:.3f} MHz ± "
-                    f"{half / 1e6:.3f} MHz) and the source cannot "
-                    "retune: reception will alias", stacklevel=2)
+                    f"{half / 1e6:.3f} MHz) — {why}: reception will "
+                    "alias", stacklevel=2)
         self._update(i, fc_hz=fc_hz)
 
     def set_mode(self, i: int, mode: Mode):

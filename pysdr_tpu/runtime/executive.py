@@ -233,8 +233,13 @@ class Executive:
                 self.stage_ms["dispatch"] += \
                     (time.perf_counter() - t0) * 1e3
                 nxt = read_block()                     # overlap host read
-                pending.append(
-                    (audio_p, getattr(self.bank, "_last_bb", None)))
+                bb_p = getattr(self.bank, "_last_bb", None)
+                if bb_p is not None:
+                    try:      # same early-copy rationale as the audio
+                        bb_p.copy_to_host_async()
+                    except AttributeError:
+                        pass
+                pending.append((audio_p, bb_p))
                 if len(pending) > depth:
                     finish(pending.popleft())          # drain block k-D
         while pending:
