@@ -337,3 +337,23 @@ def test_webview_rig_follower_toggles():
         rc.close()
         srv.stop()
         a.stop_services()
+
+
+def test_webview_page_js_id_consistency():
+    """Static guard for the embedded page: every element id the script
+    references must exist in the markup (the class of bug a browserless
+    CI cannot catch at runtime)."""
+    import re
+
+    from pysdr_tpu.runtime.webview import PAGE
+
+    defined = set(re.findall(r'id="([^"]+)"', PAGE))
+    referenced = set(re.findall(r"getElementById\('([^']+)'\)", PAGE))
+    # per-RX rows are built dynamically with numeric suffixes
+    dynamic = {r for r in referenced
+               if re.fullmatch(r"(f|m|vb|ab|g|sq|mu|lv|rx)\d*\+?i?", r)}
+    missing = referenced - defined - dynamic
+    assert not missing, f"script references undefined ids: {missing}"
+    # and the handlers the panes depend on are present
+    for frag in ("loadRig", "loadDev", "rigSet", "drawWF", "buildRows"):
+        assert PAGE.count(frag) >= 2, frag     # defined + used
