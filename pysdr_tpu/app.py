@@ -65,8 +65,11 @@ def build_parser() -> argparse.ArgumentParser:
     # -- rates (reference -fs MHz / -fsout kHz; params.py:128-131) --
     ap.add_argument("--fs", type=float, default=2.048,
                     help="RF sample rate in MHz")
-    ap.add_argument("--fs-out", type=float, default=48.0,
-                    help="audio rate in kHz (48/96/192)")
+    ap.add_argument("--fs-out", type=float, default=None,
+                    help="audio rate in kHz (48/96/192; default 48, or "
+                         "192 when any RX runs WFM/WFM2 — the broadcast "
+                         "FM signal needs the full ~200 kHz before the "
+                         "discriminator, reference params.py:400-404)")
     ap.add_argument("--foffset", type=float, default=None,
                     help="tuner offset in kHz (default: auto-center, "
                          "params.py:311-315)")
@@ -239,6 +242,17 @@ def build_parser() -> argparse.ArgumentParser:
     return ap
 
 
+def _fs_out_hz(args, modes) -> float:
+    """Audio rate: explicit --fs-out wins; otherwise 192 kHz when any
+    RX runs broadcast FM (the reference's per-mode srate selection,
+    params.py:400-404), else 48 kHz."""
+    if args.fs_out is not None:
+        return args.fs_out * 1e3
+    if any(m in (Mode.WFM, Mode.WFM2) for m in modes):
+        return 192e3
+    return 48e3
+
+
 def build_config(args) -> cfg_mod.PipelineConfig:
     fcs = [f * 1e6 for f in args.fc][:MAX_RX]
     mode_names = args.modes if args.modes else [args.mode] * len(fcs)
@@ -261,7 +275,8 @@ def build_config(args) -> cfg_mod.PipelineConfig:
             auto_mute_db=args.auto_mute_db)
         for i, (fc, m) in enumerate(zip(fcs, modes)))
     return cfg_mod.PipelineConfig(
-        fs_in=fs_in, fs_out=args.fs_out * 1e3, out_block=args.block,
+        fs_in=fs_in, fs_out=_fs_out_hz(args, modes),
+        out_block=args.block,
         foffset_hz=foff, transverter_hz=args.transverter * 1e6,
         receivers=rxs)
 
@@ -334,7 +349,8 @@ def build_channelizer(args):
                          auto_mute=args.auto_mute,
                          auto_mute_db=args.auto_mute_db)
     cfg = ChannelizerBankConfig(
-        fs_in=fs_in, n_channels=n, fs_out=args.fs_out * 1e3,
+        fs_in=fs_in, n_channels=n,
+        fs_out=_fs_out_hz(args, [mode]),
         out_block=args.block, fc_hz=fc,
         channels=tuple(cs for _ in range(n)))
     bank = ChannelizerBank(cfg, audio_wire=args.audio_wire)

@@ -452,3 +452,23 @@ def test_app_bb_pane(tmp_path):
     assert fr is not None, list(a.display.frames)
     pk = fr.freqs_hz[np.argmax(fr.psd_db)]
     assert abs(pk - (100e6 + 2000.0)) < 200.0, pk
+
+
+def test_wfm_auto_selects_192k_audio(tmp_path):
+    """--mode WFM without --fs-out runs at 192 kHz audio (the
+    reference's per-mode srate selection, params.py:400-404): at the
+    48 kHz default the decimator would crush the ~200 kHz FM signal
+    before the discriminator."""
+    prefix = str(tmp_path / "wfm")
+    run_app(["--mode", "WFM", "--fs", "2.048", "--block", "8192",
+             "--blocks", "3", "--wav", prefix])
+    w = wave.open(prefix + "_rx0.wav")
+    assert w.getframerate() == 192000
+    # explicit --fs-out still wins
+    args = app_mod.build_parser().parse_args(
+        ["--mode", "WFM", "--fs-out", "96"])
+    cfg = app_mod.build_config(args)
+    assert cfg.fs_out == 96e3
+    # and non-FM modes keep the 48 kHz default
+    args = app_mod.build_parser().parse_args(["--mode", "AM"])
+    assert app_mod.build_config(args).fs_out == 48e3
