@@ -18,6 +18,7 @@ surface here posts pure params updates applied at block boundaries
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -394,7 +395,7 @@ class App:
         # fire the first device->host pull NOW so the axon tunnel's
         # multi-minute reverse-path setup overlaps compilation and the
         # first block uploads (utils.prepay_transfer_tax)
-        prepay_transfer_tax()
+        self._prepay_thread = prepay_transfer_tax()
         self.args = args
         if args.channelize:
             self.bank, self.source, self.cfg = build_channelizer(args)
@@ -809,7 +810,17 @@ def main(argv=None) -> int:
         args.fc = [match[0].freq_hz / 1e6] + list(args.fc[1:])
         args.mode = tables.MODE_NAMES[match[0].mode]
         args.modes = None
-    app = App(args)
+    try:
+        app = App(args)
+    except (ValueError, ConnectionError, TimeoutError) as e:
+        # operator-grade message for config/connection mistakes (bad
+        # mesh shape, unreachable rtl_tcp server, invalid rate plan).
+        # The prepay daemon thread may still be mid-transfer inside the
+        # backend; normal interpreter teardown would race it and
+        # segfault, so exit without teardown.
+        print(f"error: {e}", file=sys.stderr)
+        sys.stderr.flush()
+        os._exit(2)
     if args.internals:
         np.savez(args.internals, **{
             k: v for k, v in app.bank.dump_internals().items()})
@@ -823,4 +834,14 @@ def main(argv=None) -> int:
     print(f"{n} blocks, {n * d.in_block / 1e6:.1f} Msamples RF in "
           f"{dt:.2f}s ({n * d.in_block / max(dt, 1e-9) / 1e6:.1f} Msamp/s), "
           f"{app.bank.n_rx} RX", flush=True)
+    # a very short run can finish before the prepay daemon thread's
+    # first pull lands; interpreter teardown racing it segfaults inside
+    # the backend — give it a moment, then skip teardown if still stuck
+    t = getattr(app, "_prepay_thread", None)
+    if t is not None and t.is_alive():
+        t.join(timeout=10.0)
+        if t.is_alive():
+            sys.stdout.flush()
+            sys.stderr.flush()
+            os._exit(rc)
     return rc

@@ -39,9 +39,14 @@ from pysdr_tpu.parallel import stream as stream_mod
 
 def build_mesh(n_stream: int, n_ch: int) -> Mesh:
     """Mesh over the first n_stream*n_ch available devices."""
+    have = len(jax.devices())
+    if have < n_stream * n_ch:
+        raise ValueError(
+            f"--mesh {n_stream},{n_ch} needs {n_stream * n_ch} devices "
+            f"but only {have} are available (emulate with JAX_PLATFORMS"
+            f"=cpu XLA_FLAGS=--xla_force_host_platform_device_count="
+            f"{n_stream * n_ch})")
     devs = np.asarray(jax.devices()[:n_stream * n_ch])
-    assert devs.size == n_stream * n_ch, \
-        f"need {n_stream * n_ch} devices, have {len(jax.devices())}"
     return Mesh(devs.reshape(n_stream, n_ch), ("stream", "ch"))
 
 

@@ -472,3 +472,19 @@ def test_wfm_auto_selects_192k_audio(tmp_path):
     # and non-FM modes keep the 48 kHz default
     args = app_mod.build_parser().parse_args(["--mode", "AM"])
     assert app_mod.build_config(args).fs_out == 48e3
+
+
+def test_cli_clean_errors_for_config_mistakes(tmp_path):
+    """Operator mistakes exit 2 with one-line errors, not tracebacks."""
+    import subprocess
+    import sys
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    for argv in (["--mesh", "64,64", "--blocks", "1"],
+                 ["--rtl-tcp", "127.0.0.1:9", "--blocks", "1"]):
+        out = subprocess.run(
+            [sys.executable, "-m", "pysdr_tpu", *argv], env=env,
+            capture_output=True, text=True, timeout=180,
+            cwd=os.path.dirname(os.path.dirname(__file__)))
+        assert out.returncode == 2, (argv, out.returncode)
+        assert "error:" in out.stderr and "Traceback" not in out.stderr, \
+            out.stderr[-400:]
