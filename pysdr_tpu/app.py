@@ -156,6 +156,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "(lossless for real 8/14-bit front-ends); both "
                          "the Python reader and the C++ streamer replay "
                          "them")
+    ap.add_argument("--save-baseband", action="store_true",
+                    help="record per-RX post-mix/decimate baseband to a "
+                         "timestamped .dat (reference -save_baseband, "
+                         "params.py:136-141; taps receiver.py:292-297)")
     ap.add_argument("--save-demod", action="store_true",
                     help="record demod audio to a timestamped .dat")
     ap.add_argument("--save-dir", type=str, default=".")
@@ -424,7 +428,8 @@ class App:
                 if repl:
                     cfg = _dc.replace(cfg, **repl)
             self.cfg = cfg
-            emit_bb = args.rtty is not None or args.bb
+            emit_bb = (args.rtty is not None or args.bb
+                       or args.save_baseband)
             self.bank = ReceiverBank(cfg, emit_baseband=emit_bb,
                                      audio_wire=args.audio_wire)
         if args.mesh:
@@ -444,12 +449,22 @@ class App:
         # recording taps (pySDR.py:117-123)
         from pysdr_tpu.io import datfile
         import os
-        self.raw_writer = self.demod_writer = None
+        self.raw_writer = self.demod_writer = self.bb_writer = None
         if args.save_iq:
             self.raw_writer = datfile.DatWriter(
                 os.path.join(args.save_dir,
                              datfile.timestamped_name("raw_iq")),
                 fs=d.fs_in, fc=fc_src, dtype=args.save_iq_dtype)
+        if args.save_baseband and args.channelize:
+            print("--save-baseband is not available with --channelize; "
+                  "ignoring", file=sys.stderr)
+            args.save_baseband = False
+        if args.save_baseband:
+            self.bb_writer = datfile.DatWriter(
+                os.path.join(args.save_dir,
+                             datfile.timestamped_name("baseband")),
+                fs=d.fs_out, fc=fc_src, nchan=self.bank.n_rx,
+                tag="baseband")
         if args.save_demod:
             self.demod_writer = datfile.DatWriter(
                 os.path.join(args.save_dir,
@@ -655,10 +670,15 @@ class App:
         need_bb_display = (self.display is not None
                            and ex.drained_bb is not None
                            and self.display.wants_next_bb())
-        if (self.rtty is not None or need_bb_display) \
+        if (self.rtty is not None or need_bb_display
+                or self.bb_writer is not None) \
                 and ex.drained_bb is not None:
             bb_host = np.asarray(ex.drained_bb).reshape(
                 self.bank.n_rx, -1, 2)
+        if self.bb_writer is not None and bb_host is not None:
+            from pysdr_tpu.ops import cplx
+            # interleave channel-last like the demod writer
+            self.bb_writer.save_data(cplx.unpack(bb_host).T)
         if self.display is not None:
             self.display(ex, audio)
             if ex.last_rf_block is not None \
@@ -730,7 +750,7 @@ class App:
             w.stop()
         for p in self.players:
             p.stop(drain=True)
-        for wr in (self.raw_writer, self.demod_writer):
+        for wr in (self.raw_writer, self.demod_writer, self.bb_writer):
             if wr is not None:
                 wr.close()
         if self.aux_sink is not None:

@@ -488,3 +488,21 @@ def test_cli_clean_errors_for_config_mistakes(tmp_path):
         assert out.returncode == 2, (argv, out.returncode)
         assert "error:" in out.stderr and "Traceback" not in out.stderr, \
             out.stderr[-400:]
+
+
+def test_app_save_baseband_tap(tmp_path):
+    """--save-baseband records the per-RX post-mix/decimate baseband
+    (the reference's third recording tap, params.py:136-141 /
+    receiver.py:292-297): the capture holds the AM carrier with its
+    400 Hz modulation."""
+    run_app(["--fs", "0.512", "--block", "4096", "--blocks", "6",
+             "--save-baseband", "--save-dir", str(tmp_path)])
+    dats = [f for f in os.listdir(tmp_path) if f.startswith("baseband")]
+    assert len(dats) == 1
+    x, hdr = datfile.read_dat(str(tmp_path / dats[0]))
+    assert hdr.fs == 48e3 and hdr.nchan == 1 and hdr.tag == "baseband"
+    assert len(x) >= 6 * 4096      # out_block rounds to the plan
+    env = np.abs(x[len(x) // 2:])
+    sp = np.abs(np.fft.rfft((env - env.mean()) * np.hanning(len(env))))
+    pk = np.fft.rfftfreq(len(env), 1 / 48e3)[5 + np.argmax(sp[5:])]
+    assert abs(pk - 400.0) < 10.0, pk
