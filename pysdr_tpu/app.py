@@ -53,6 +53,12 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--af-bw", type=float, default=0.0,
                     help="audio filter BW in kHz (0 = mode default)")
     ap.add_argument("--af-gain", type=float, default=1.0)
+    ap.add_argument("--bfo", type=float, default=None, metavar="HZ",
+                    help="CW beat pitch (reference -bfo; default %g Hz)"
+                    % tables.CW_BFO_HZ)
+    ap.add_argument("--nfilt", type=int, default=None, metavar="TAPS",
+                    help="AF filter length (reference -nfilt; default "
+                         "256)")
     ap.add_argument("--squelch", type=float, default=-150.0,
                     help="squelch threshold dB (default off)")
     ap.add_argument("--no-agc", action="store_true")
@@ -115,6 +121,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--ppm", type=float, default=0.0,
                     help="front-end frequency-correction error in ppm "
                          "(reference PPM correction, utils.py:292-353)")
+    ap.add_argument("--ant", type=str, default=None,
+                    help="front-end antenna port select (reference -ant "
+                         "A/B/Hi-Z, utils.py:292-353)")
     # -- run control --
     ap.add_argument("--blocks", type=int, default=None,
                     help="stop after N device blocks")
@@ -173,6 +182,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="also route RX0 audio as raw s16le PCM into a "
                          "named pipe for other apps (the reference's "
                          "PulseAudio loopback, start_loopback:1-100)")
+    ap.add_argument("--delay", type=int, default=16 * 1024,
+                    metavar="SAMPLES",
+                    help="audio samples buffered before playback starts "
+                         "(reference -delay / P.DELAY, params.py:70-71)")
     ap.add_argument("--aux-wav", type=str, default=None, metavar="PATH",
                     help="aux speaker path: RX0 audio through the "
                          "800-1300 Hz speech bandpass to its own wav "
@@ -210,6 +223,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "toggle, gui.py:121-221; implies --psd)")
     ap.add_argument("--psd-every", type=int, default=8,
                     help="update displays every N blocks")
+    ap.add_argument("--pan-dr", type=float, default=60.0, metavar="DB",
+                    help="pan-adaptor dynamic-range clamp (reference "
+                         "-pan_dr; also live in the viewer)")
     ap.add_argument("--png-dir", type=str, default=None,
                     help="export waterfall PNGs here on exit")
     ap.add_argument("--web", type=int, default=None, metavar="PORT",
@@ -271,19 +287,25 @@ def build_config(args) -> cfg_mod.PipelineConfig:
         foff = cfg_mod.auto_foffset(fcs, fs_in)
     else:
         foff = min(0.25 * fs_in, 120e3)   # park DC spike out of channel
+    rx_kw = {}
+    if args.bfo is not None:
+        rx_kw["bfo_hz"] = args.bfo
     rxs = tuple(
         cfg_mod.ReceiverConfig(
             fc_hz=fc, mode=m, video_bw_hz=args.video_bw * 1e3,
             af_bw_hz=args.af_bw * 1e3, af_gain=args.af_gain,
             agc_enabled=not args.no_agc, squelch_db=args.squelch,
             muted=(i in set(args.mute)), auto_mute=args.auto_mute,
-            auto_mute_db=args.auto_mute_db)
+            auto_mute_db=args.auto_mute_db, **rx_kw)
         for i, (fc, m) in enumerate(zip(fcs, modes)))
+    pipe_kw = {}
+    if args.nfilt is not None:
+        pipe_kw["af_taps"] = args.nfilt
     return cfg_mod.PipelineConfig(
         fs_in=fs_in, fs_out=_fs_out_hz(args, modes),
         out_block=args.block,
         foffset_hz=foff, transverter_hz=args.transverter * 1e6,
-        receivers=rxs)
+        receivers=rxs, **pipe_kw)
 
 
 def _rtl_tcp_source(args, fs: float, fc: float):
@@ -481,6 +503,7 @@ class App:
             self.display = DisplayEngine(self.bank,
                                          decimate=args.psd_every,
                                          show_baseband=args.bb)
+            self.display.rf.cfg.pan_dr_db = args.pan_dr
 
         self.rtty = None
         if args.rtty is not None:
@@ -507,6 +530,10 @@ class App:
         # synth; the reference's FreqSelect setFrequency(f2-FOFFSET),
         # gui.py:1938-1944). Runs in the executive thread at the block
         # boundary the retune applies on.
+        # front-end antenna select (reference -ant, utils.py:292-353)
+        if args.ant and hasattr(self.source, "set_antenna"):
+            self.source.set_antenna(args.ant)
+
         inner_bank = getattr(self.bank, "bank", self.bank)  # mesh adapter
         if hasattr(inner_bank, "on_device_retune") \
                 and hasattr(self.source, "set_freq"):
@@ -725,7 +752,7 @@ class App:
             w.start()
         for p in self.players:
             if self.args.realtime:
-                p.start_playback()
+                p.start_playback(min_buffered=self.args.delay)
             else:
                 p.realtime = False
                 p.start_playback(min_buffered=0, timeout=0.0)

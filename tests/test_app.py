@@ -506,3 +506,23 @@ def test_app_save_baseband_tap(tmp_path):
     sp = np.abs(np.fft.rfft((env - env.mean()) * np.hanning(len(env))))
     pk = np.fft.rfftfreq(len(env), 1 / 48e3)[5 + np.argmax(sp[5:])]
     assert abs(pk - 400.0) < 10.0, pk
+
+
+def test_cli_parity_flags(tmp_path):
+    """The remaining reference RUN_TIME_PARAMS knobs (-bfo, -nfilt,
+    -ant, -delay, -pan_dr) are reachable from the CLI and reach their
+    subsystems."""
+    args = app_mod.build_parser().parse_args(
+        ["--fs", "0.512", "--block", "4096", "--mode", "CW",
+         "--bfo", "600", "--nfilt", "128", "--ant", "B",
+         "--pan-dr", "40", "--psd"])
+    cfg = app_mod.build_config(args)
+    assert cfg.receivers[0].bfo_hz == 600.0
+    assert cfg.af_taps == 128
+    a = app_mod.App(args)
+    assert a.source.get_antenna() == "B"
+    assert a.display.rf.cfg.pan_dr_db == 40.0
+    # --delay reaches the player start threshold
+    args2 = app_mod.build_parser().parse_args(
+        ["--fs", "0.512", "--block", "4096", "--delay", "2048"])
+    assert args2.delay == 2048
