@@ -69,6 +69,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="auto-mute baseband power threshold (dBFS)")
     ap.add_argument("--mute", type=int, nargs="*", default=[],
                     metavar="RX", help="start with these RXs muted")
+    ap.add_argument("--src", type=int, nargs="*", default=None,
+                    help="per-RX sample-source chain (reference -src, "
+                         "receiver.py:825-835): RX i with src j >= 0 "
+                         "derives its NCO offset from RX j's dial; -1 = "
+                         "normal (device-center) derivation")
     # -- rates (reference -fs MHz / -fsout kHz; params.py:128-131) --
     ap.add_argument("--fs", type=float, default=2.048,
                     help="RF sample rate in MHz")
@@ -290,13 +295,15 @@ def build_config(args) -> cfg_mod.PipelineConfig:
     rx_kw = {}
     if args.bfo is not None:
         rx_kw["bfo_hz"] = args.bfo
+    srcs = list(args.src or [])
+    srcs += [-1] * (len(fcs) - len(srcs))
     rxs = tuple(
         cfg_mod.ReceiverConfig(
             fc_hz=fc, mode=m, video_bw_hz=args.video_bw * 1e3,
             af_bw_hz=args.af_bw * 1e3, af_gain=args.af_gain,
             agc_enabled=not args.no_agc, squelch_db=args.squelch,
             muted=(i in set(args.mute)), auto_mute=args.auto_mute,
-            auto_mute_db=args.auto_mute_db, **rx_kw)
+            auto_mute_db=args.auto_mute_db, src=srcs[i], **rx_kw)
         for i, (fc, m) in enumerate(zip(fcs, modes)))
     pipe_kw = {}
     if args.nfilt is not None:

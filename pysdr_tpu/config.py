@@ -50,6 +50,11 @@ class ReceiverConfig:
                                      # (reference ENABLE_AUTO_MUTE,
                                      # receiver.py:237-245)
     auto_mute_db: float = -10.0      # baseband power threshold (dBFS)
+    src: int = -1                    # RX chaining (reference -src,
+                                     # receiver.py:825-835): when >= 0,
+                                     # this RX's NCO offset derives from
+                                     # RX[src]'s dial (fc_i - fc_src)
+                                     # instead of the device center
 
 
 @dataclasses.dataclass(frozen=True)
@@ -125,8 +130,11 @@ def auto_foffset(fcs_hz: Sequence[float], fs_in: float,
 
 def validate(cfg: PipelineConfig) -> None:
     """Sanity checks mirroring the reference's setup validation
-    (utils.py:292-353 offset-within-tuner-BW check)."""
+    (utils.py:292-353 offset-within-tuner-BW check). A chained RX
+    (src >= 0) is judged by its offset from its source RX's dial."""
     half = cfg.fs_in / 2
-    for off in cfg.channel_offsets_hz():
+    for rc, off in zip(cfg.receivers, cfg.channel_offsets_hz()):
+        if 0 <= rc.src < len(cfg.receivers):
+            off = rc.fc_hz - cfg.receivers[rc.src].fc_hz
         assert abs(off) < half, f"channel offset {off} outside ±{half}"
     assert cfg.fs_out <= cfg.fs_in

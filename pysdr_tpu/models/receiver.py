@@ -182,9 +182,14 @@ class ReceiverBank:
         # center anchor: cfg.channel_offsets_hz snapshots the
         # construction-time receivers, so deriving from it made every
         # later retune a dial-display-only no-op (the DSP kept listening
-        # at the old frequency) — caught round 4
-        plist = [self._params_for(rc, rc.fc_hz - self._center_dial)
-                 for rc in self._rx_cfgs]
+        # at the old frequency) — caught round 4. A chained RX
+        # (rc.src >= 0, the reference's -src) derives its offset from
+        # its source RX's dial instead (receiver.py:825-835).
+        def off(rc):
+            if 0 <= rc.src < len(self._rx_cfgs):
+                return rc.fc_hz - self._rx_cfgs[rc.src].fc_hz
+            return rc.fc_hz - self._center_dial
+        plist = [self._params_for(rc, off(rc)) for rc in self._rx_cfgs]
         # host-side shadow of the video rows: any consumer needing the
         # values must NOT pull the device array — a device->host read
         # outside the streaming path stalls for minutes on the axon

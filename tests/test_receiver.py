@@ -266,3 +266,33 @@ def test_runtime_bw_swaps_affect_audio():
     bank.set_af_bw(0, 2e3)
     r_af = own_over_leak(bank)
     assert r_af > 10 * r_video, (r_video, r_af)
+
+
+def test_src_chained_rx_offsets():
+    """RX chaining (reference -src, receiver.py:825-835): a chained
+    RX's NCO offset derives from its SOURCE RX's dial, so it tracks the
+    source's retunes at a fixed relative spacing."""
+    from pysdr_tpu.ops import nco
+
+    fs = 512e3
+    cfg = PipelineConfig(
+        fs_in=fs, fs_out=48e3, out_block=3072, foffset_hz=60e3,
+        receivers=(ReceiverConfig(fc_hz=10e6, mode=Mode.AM),
+                   ReceiverConfig(fc_hz=10.001e6, mode=Mode.CW, src=0)))
+    bank = ReceiverBank(cfg)
+    ks = np.asarray(bank.params.nco_k)
+    assert int(ks[0]) == nco.snap_freq(60e3, fs)          # foffset path
+    assert int(ks[1]) == nco.snap_freq(1e3, fs)           # fc1 - fc0
+    # retuning the SOURCE keeps the chained spacing when the chained RX
+    # follows (both dials updated, spacing intact)
+    bank.retune(0, 10.05e6)
+    bank.retune(1, 10.051e6)
+    ks = np.asarray(bank.params.nco_k)
+    assert int(ks[1]) == nco.snap_freq(1e3, fs)
+    # CLI surface
+    from pysdr_tpu import app as app_mod
+    args = app_mod.build_parser().parse_args(
+        ["--fc", "10.0", "10.001", "--modes", "AM", "CW",
+         "--src", "-1", "0", "--fs", "0.512"])
+    c = app_mod.build_config(args)
+    assert c.receivers[1].src == 0 and c.receivers[0].src == -1
