@@ -296,3 +296,45 @@ def test_src_chained_rx_offsets():
          "--src", "-1", "0", "--fs", "0.512"])
     c = app_mod.build_config(args)
     assert c.receivers[1].src == 0 and c.receivers[0].src == -1
+
+
+def test_random_control_sequence_equals_fresh_build():
+    """Control-plane invariant (the retune-no-op bug class): after ANY
+    sequence of block-boundary mutations, the bank's traced params must
+    equal those of a bank built fresh from the resulting configs — the
+    incremental path may never drift from the declarative one."""
+    import dataclasses
+
+    rng = np.random.default_rng(42)
+    fs = 512e3
+    cfg = PipelineConfig(
+        fs_in=fs, fs_out=48e3, out_block=3072, foffset_hz=60e3,
+        receivers=tuple(ReceiverConfig(fc_hz=10e6 + 30e3 * i)
+                        for i in range(3)))
+    bank = ReceiverBank(cfg)
+    modes = [Mode.AM, Mode.NFM, Mode.USB, Mode.LSB, Mode.CW, Mode.IQ]
+    ops = [
+        lambda i: bank.retune(i, 10e6 + float(rng.uniform(-200e3, 200e3))),
+        lambda i: bank.set_mode(i, modes[rng.integers(len(modes))]),
+        lambda i: bank.set_video_bw(i, float(rng.choice([0, 8e3, 16e3]))),
+        lambda i: bank.set_af_bw(i, float(rng.choice([0, 2e3, 3e3]))),
+        lambda i: bank.set_af_gain(i, float(rng.uniform(0.1, 3.0))),
+        lambda i: bank.set_squelch(i, float(rng.uniform(-150, 20))),
+        lambda i: bank.set_agc(i, bool(rng.integers(2))),
+        lambda i: bank.set_mute(i, bool(rng.integers(2))),
+    ]
+    for _ in range(40):
+        ops[rng.integers(len(ops))](int(rng.integers(3)))
+
+    fresh_cfg = dataclasses.replace(cfg,
+                                    receivers=tuple(bank._rx_cfgs))
+    fresh = ReceiverBank(fresh_cfg)
+    # anchor must match too (no device-follow source here: retunes
+    # beyond the passband warn but keep the anchor)
+    fresh._center_dial = bank._center_dial
+    fresh.params = fresh._build_params()
+
+    import jax
+    for a, b in zip(jax.tree.leaves(bank.params),
+                    jax.tree.leaves(fresh.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
