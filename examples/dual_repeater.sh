@@ -1,4 +1,7 @@
 #!/bin/sh
+# run from anywhere: use the checkout when not pip-installed
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+export PYTHONPATH="$REPO${PYTHONPATH:+:$PYTHONPATH}"
 # Dual-repeater monitoring (the reference's TEST script): two NFM RXs
 # 25 kHz apart, squelched, routed to one stereo pair (RX0=L, RX1=R),
 # live viewer on :8080. Synth stations stand in for the repeaters.

@@ -1,4 +1,7 @@
 #!/bin/sh
+# run from anywhere: use the checkout when not pip-installed
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+export PYTHONPATH="$REPO${PYTHONPATH:+:$PYTHONPATH}"
 # Broadcast-FM stereo from a real RTL-SDR running `rtl_tcp -a 0.0.0.0`
 # anywhere on the network. Usage: live_rtl_tcp.sh HOST[:PORT] [MHz]
 HOST=${1:-127.0.0.1:1234}

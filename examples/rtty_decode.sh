@@ -1,6 +1,9 @@
 #!/bin/sh
+# run from anywhere: use the checkout when not pip-installed
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+export PYTHONPATH="$REPO${PYTHONPATH:+:$PYTHONPATH}"
 # Decode the committed 45.45-baud RTTY capture; text prints live
 # (expected: RYRY CQ CQ DE AA2IL AA2IL K).
-cd "$(dirname "$0")/.."
-exec python -m pysdr_tpu --replay tests/fixtures/rtty_cq.dat --no-loop \
+FIX="$REPO/tests/fixtures"
+exec python -m pysdr_tpu --replay "$FIX/rtty_cq.dat" --no-loop \
     --fc 100.0 --mode RTTY --block 4096 --rtty 0 "$@"
