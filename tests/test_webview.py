@@ -357,3 +357,26 @@ def test_webview_page_js_id_consistency():
     # and the handlers the panes depend on are present
     for frag in ("loadRig", "loadDev", "rigSet", "drawWF", "buildRows"):
         assert PAGE.count(frag) >= 2, frag     # defined + used
+
+
+def test_webview_record_honors_save_iq_dtype(tmp_path):
+    """ADVICE r3: viewer-initiated recordings must honor the CLI's
+    --save-iq-dtype (previously always complex64, 2-4x larger)."""
+    import glob
+
+    a = _mk_app(["--save-iq-dtype", "int8"])
+    try:
+        p = a.web.port
+        a.ex.run(n_blocks=2)
+        _get(p, f"/record?iq=1&dir={tmp_path}")
+        a.ex.run(n_blocks=4)
+        _get(p, "/record?iq=0")
+        a.ex.run(n_blocks=5)
+        files = glob.glob(str(tmp_path / "raw_iq_*.dat"))
+        assert len(files) == 1
+        from pysdr_tpu.io import datfile
+        x, hdr = datfile.read_dat(files[0])
+        assert hdr.dtype == "int8"
+        assert len(x) > 0 and np.iscomplexobj(x)
+    finally:
+        a.stop_services()
