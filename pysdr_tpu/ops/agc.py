@@ -62,4 +62,11 @@ def agc_block(x, env_prev, p: AGCParams, enabled=True):
     gain = jnp.minimum(gain, p.max_gain)
     gain = jnp.where(enabled, gain, 1.0)
     y = x * gain.astype(x.real.dtype)
+    # carry the SMOOTHED envelope, deliberately NOT max(env_last, m[-1]):
+    # within a block the instant attack applies to the gain only and is
+    # never fed back into the one-pole recursion, so carrying the
+    # attacked value would make chunked processing diverge from one
+    # batch call (the block-invariance guarantee every streaming test
+    # pins). Gain recovering quickly after a burst is the in-block
+    # behavior too — a property of max-tracking AGC, not a carry bug.
     return y, jnp.where(enabled, env_last, env_prev), gain[-1]

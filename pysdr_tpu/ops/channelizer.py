@@ -127,21 +127,9 @@ def channelize_block(x, hist, weights, *, n_channels: int):
     if packed:
         x = cplx.unpack(x)
         hist = cplx.unpack(hist)
-    n = x.shape[0]
-    nch = n_channels
-    assert n % nch == 0
-    xp = jnp.concatenate([hist, x])                  # ((M+K-1)*N,)
-    mk = xp.shape[0] // nch
-    # branches: feature r = xp[m*N + r] -> (2, N, M+K-1) for re/im
-    xb = xp.reshape(mk, nch)
-    lhs = jnp.stack([xb.real.T, xb.imag.T])          # (2, N, M+K-1)
-    v = jax.lax.conv_general_dilated(
-        lhs, weights, window_strides=(1,), padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        preferred_element_type=jnp.float32)          # (2, N, M)
-    vc = jax.lax.complex(v[0], v[1]).T               # (M, N)
+    assert x.shape[0] % n_channels == 0
+    vc, new_hist = branch_filter(x, hist, weights, n_channels)
     y = jnp.fft.fft(vc, axis=-1).astype(jnp.complex64)
-    new_hist = xp[n:]
     if packed:
         return cplx.pack(y), cplx.pack(new_hist)
     return y, new_hist

@@ -195,7 +195,13 @@ def demod_block(iq, state: DemodState, p: DemodParams, design: DemodDesign,
     pilot, pilot_hist = _af_fir(
         fm.astype(jnp.complex64), state.pilot_hist, pilot_taps, design)
     punit = pilot / (jnp.abs(pilot) + 1e-9)
-    c38 = (punit * punit).real                               # cos(2*pilot_ph)
+    # Broadcast convention (FCC 73.322 / BS.450): the 38 kHz subcarrier
+    # zero-crosses in phase with the pilot — for pilot sin(phi) the
+    # subcarrier is sin(2*phi). The analytic pilot from the one-sided
+    # filter is e^{j(phi - pi/2)}, so sin(2*phi) = -Im(punit^2).
+    # (Re(punit^2) is the quadrature term: it decodes ~zero stereo from
+    # a standards-compliant MPX — caught round 4.)
+    c38 = -(punit * punit).imag                              # sin(2*pilot_ph)
     lr_raw = (2.0 * fm * c38 * p.fm_scale).astype(jnp.complex64)
     lr_f, lr_hist = _af_fir(lr_raw, state.lr_hist, af_taps, design)
     lr = lr_f.real
@@ -306,12 +312,12 @@ def make_params(design: DemodDesign, mode: Mode, af_bw_hz: float = 0.0,
     if af_bw_hz <= 0:
         af_bw_hz = tables.MODE_DEFAULT_AF_BW.get(mode, 0.0) or 0.45 * fs
     af_bw_hz = min(af_bw_hz, 0.45 * fs)
-    if mode in (Mode.USB, Mode.CW):
+    if mode == Mode.CW:
+        taps = fir.complex_bandpass(bfo_hz - af_bw_hz / 2,
+                                    bfo_hz + af_bw_hz / 2, fs,
+                                    design.af_taps)
+    elif mode == Mode.USB:
         taps = fir.complex_bandpass(50.0, af_bw_hz, fs, design.af_taps)
-        if mode == Mode.CW:
-            taps = fir.complex_bandpass(bfo_hz - af_bw_hz / 2,
-                                        bfo_hz + af_bw_hz / 2, fs,
-                                        design.af_taps)
     elif mode == Mode.LSB:
         taps = fir.complex_bandpass(-af_bw_hz, -50.0, fs, design.af_taps)
     else:

@@ -72,9 +72,13 @@ def _resampler_prototype(up: int, down: int, fs_in: float, cutoff_hz: float,
     Length is padded to up*taps_per_phase."""
     ntaps = up * taps_per_phase
     fs_up = fs_in * up
-    # Must reject images beyond the output Nyquist fs_out/2 = fs_in*up/(2*down)
-    nyq_out = fs_in * up / (2.0 * down)
-    fc = min(cutoff_hz, 0.92 * nyq_out) if cutoff_hz > 0 else 0.92 * nyq_out
+    # Reject BOTH alias products beyond the output Nyquist AND the
+    # zero-stuffing images beyond the input Nyquist (the latter bites
+    # whenever up > down, e.g. a 32 kHz channel upsampled to 48 kHz:
+    # without the fs_in/2 cap, input images at 16-22 kHz pass into the
+    # audio band unattenuated)
+    nyq = min(fs_in * up / (2.0 * down), fs_in / 2.0)
+    fc = min(cutoff_hz, 0.92 * nyq) if cutoff_hz > 0 else 0.92 * nyq
     h = lowpass(ntaps, fc, fs_up, atten_db, scale=float(up))
     return h
 
@@ -104,13 +108,16 @@ def af_filter_bank_real(fs_out: float, af_bws_hz, ntaps: int = 256,
                         atten_db: float = 60.0) -> np.ndarray:
     """Real audio lowpass bank (n_bw, ntaps) for AM/FM audio — the
     reference `filter_bank_real` (receiver.py:873). 'Max' (0.0) entries are
-    a passthrough (delta at the linear-phase center so bank rows share
-    group delay)."""
+    a near-Nyquist lowpass rather than a delta: a delta at (ntaps-1)//2
+    has INTEGER group delay while every designed row has the symmetric
+    (ntaps-1)/2 = half-sample-offset delay for even ntaps, so swapping
+    to/from 'Max' mid-stream would shift the audio by half a sample —
+    designing 'Max' like the other rows keeps all bank rows
+    phase-interchangeable."""
     rows = []
     for bw in af_bws_hz:
         if bw <= 0 or bw >= fs_out / 2:
-            h = np.zeros(ntaps, np.float32)
-            h[(ntaps - 1) // 2] = 1.0
+            h = lowpass(ntaps, 0.98 * fs_out / 2, fs_out, atten_db)
         else:
             h = lowpass(ntaps, bw, fs_out, atten_db)
         rows.append(h)

@@ -57,6 +57,12 @@ def periodogram(x, window, *, nfft: int, hop: int, average: bool = True):
     if not jnp.iscomplexobj(x) and x.ndim == 2:
         x = cplx.unpack(x)
     n = x.shape[0]
+    if n < nfft:
+        # short block: zero-pad to one full segment (the old gather
+        # clamped out-of-bounds indices, silently replicating the last
+        # sample hundreds of times into a bogus spectrum)
+        x = jnp.pad(x, (0, nfft - n))
+        n = nfft
     nseg = max(1, (n - nfft) // hop + 1)
     idx = jnp.arange(nseg)[:, None] * hop + jnp.arange(nfft)[None, :]
     segs = x[idx] * window[None, :]
@@ -102,7 +108,12 @@ def find_peaks(psd_row, height_db, *, max_peaks: int = 32, min_dist: int = 8):
     pad = jnp.full((min_dist,), -jnp.inf, psd_row.dtype)
     xp = jnp.concatenate([pad, psd_row, pad])
     windows = jnp.stack([xp[i:i + n] for i in range(2 * min_dist + 1)])
-    is_max = psd_row >= jnp.max(windows, axis=0)
+    # strict-left / loose-right: exactly ONE flag per equal-valued
+    # plateau (>= against the whole window flagged every tied bin,
+    # defeating min_dist for ties)
+    left_max = jnp.max(windows[:min_dist], axis=0)
+    right_max = jnp.max(windows[min_dist + 1:], axis=0)
+    is_max = (psd_row > left_max) & (psd_row >= right_max)
     ok = is_max & (psd_row >= height_db)
     score = jnp.where(ok, psd_row, -jnp.inf)
     vals, idx = jax.lax.top_k(score, max_peaks)

@@ -159,10 +159,12 @@ def test_wfm2_stereo_separation():
     L = 0.8 * np.sin(2 * np.pi * fl * t)
     R = 0.8 * np.sin(2 * np.pi * fr * t)
     theta = 2 * np.pi * 19e3 * t
-    # composite: mono + pilot + (L-R) on cos(2*theta) — matches the
-    # decoder's pilot-squaring convention (punit**2).real
-    mux = 0.45 * (L + R) + 0.1 * np.cos(theta) + 0.45 * (L - R) * \
-        np.cos(2 * theta)
+    # STANDARD broadcast composite (FCC 73.322 / BS.450): pilot sin,
+    # (L-R) DSB on sin(2*theta) — the subcarrier zero-crosses with the
+    # pilot. The decoder regenerates sin(2*pilot_phase); round 4 fixed
+    # a 90-degree convention error that this synthesis used to share.
+    mux = 0.45 * (L + R) + 0.1 * np.sin(theta) + 0.45 * (L - R) * \
+        np.sin(2 * theta)
     dev = 75e3
     phase = 2 * np.pi * dev * np.cumsum(mux) / fs
     iq = np.exp(1j * phase).astype(np.complex64)

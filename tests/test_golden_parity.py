@@ -265,8 +265,9 @@ def test_golden_wfm2_stereo(rng):
     L = 0.8 * np.sin(2 * np.pi * fl * t)
     R = 0.8 * np.sin(2 * np.pi * fr * t)
     th = 2 * np.pi * 19e3 * t
-    mpx = 0.45 * (L + R) + 0.1 * np.cos(th) \
-        + 0.45 * (L - R) * np.cos(2 * th)
+    # STANDARD broadcast convention: pilot sin, subcarrier sin(2*th)
+    mpx = 0.45 * (L + R) + 0.1 * np.sin(th) \
+        + 0.45 * (L - R) * np.sin(2 * th)
     phase = 2 * np.pi * WFM_DEVIATION_HZ * np.cumsum(mpx) / FS_IN
     x = (0.5 * np.exp(1j * phase)
          * np.exp(2j * np.pi * OFFSET_HZ * t)).astype(np.complex64)
@@ -297,7 +298,8 @@ def test_golden_wfm2_stereo(rng):
         * fs_out / (2 * np.pi * WFM_DEVIATION_HZ)
     hp = sig.firwin(511, [18e3, 20e3], fs=fs_out, pass_zero=False)
     pil = sig.hilbert(sig.filtfilt(hp, [1.0], mh))
-    c38 = np.cos(2 * np.angle(pil))
+    # analytic(sin(phi)) = e^{j(phi-pi/2)} -> sin(2*phi) = -sin(2*angle)
+    c38 = -np.sin(2 * np.angle(pil))
     af_bw = MODE_DEFAULT_AF_BW[Mode.WFM2]
     h = sig.firwin(255, af_bw, fs=fs_out)
     al = 1.0 - np.exp(-1.0 / (fs_out * WFM_DEEMPHASIS_S))

@@ -110,3 +110,21 @@ def test_streaming_fir_cmpx_state(rng):
         parts.append(np.asarray(y))
     np.testing.assert_allclose(np.concatenate(parts), np.asarray(y_full),
                                atol=1e-5)
+
+
+def test_resampler_antiimaging_when_upsampling():
+    """up > down (e.g. a 32 kHz channel resampled to 48 kHz): the
+    prototype must also reject the zero-stuffing images beyond the
+    INPUT Nyquist — capping only at the output Nyquist (22 kHz here)
+    let input images at 16-22 kHz pass unattenuated."""
+    from pysdr_tpu.ops import fir
+
+    h = fir.video_filter_bank(32e3, 3, 2, [0.0],
+                              taps_per_phase=32)[0]
+    f, mag = fir.freq_response(h, 32e3 * 3)
+    mag = mag - mag[np.argmin(np.abs(f))]          # normalize passband
+    stop = mag[(np.abs(f) > 17.5e3)]
+    assert stop.max() < -40.0, stop.max()
+    # and the passband below the input Nyquist still passes
+    pb = mag[(np.abs(f) < 12e3)]
+    assert pb.min() > -2.0, pb.min()

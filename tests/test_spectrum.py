@@ -66,3 +66,40 @@ def test_clamp_and_image():
     assert c.min() >= -60.0 - 1e-5
     img = np.asarray(spectrum.to_image_u8(wf, 60.0))
     assert img.dtype == np.uint8 and img.max() == 255
+
+
+def test_periodogram_short_block_zero_pads():
+    """A block shorter than nfft must zero-pad, not clamp-gather (the
+    old behavior replicated the final sample hundreds of times into a
+    bogus spectrum)."""
+    import jax.numpy as jnp
+
+    from pysdr_tpu.ops import spectrum as sp
+
+    fs, nfft = 48e3, 1024
+    n = 128
+    t = np.arange(n) / fs
+    x = np.exp(2j * np.pi * 6000.0 * t).astype(np.complex64)
+    w = jnp.asarray(np.hanning(nfft).astype(np.float32))
+    p = np.asarray(sp.periodogram(jnp.asarray(x), w, nfft=nfft, hop=nfft))
+    f = np.fft.fftshift(np.fft.fftfreq(nfft, 1 / fs))
+    pk = f[np.argmax(p)]
+    assert abs(pk - 6000.0) < 2 * fs / n, pk      # tone still localized
+    # DC must not dominate (the clamp bug piled the last sample at DC)
+    assert p[np.argmin(np.abs(f))] < p.max() - 3.0
+
+
+def test_find_peaks_plateau_single_flag():
+    """An equal-valued plateau yields ONE peak, not one per tied bin
+    (ties used to defeat the min_dist suppression)."""
+    import jax.numpy as jnp
+
+    from pysdr_tpu.ops import spectrum as sp
+
+    row = np.full(64, -80.0, np.float32)
+    row[30:34] = -10.0                             # 4-bin flat plateau
+    idx, vals = sp.find_peaks(jnp.asarray(row), height_db=-40.0,
+                              min_dist=8, max_peaks=8)
+    idx = np.asarray(idx)
+    got = idx[idx >= 0]
+    assert len(got) == 1 and got[0] == 30, idx
