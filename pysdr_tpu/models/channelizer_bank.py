@@ -49,6 +49,7 @@ class ChannelSettings:
     frequency is implied by the channel index, plus a fine offset)."""
     mode: Mode = Mode.AM
     fine_offset_hz: float = 0.0    # NCO offset from the channel center
+    video_bw_hz: float = 0.0       # pre-demod channel filter (0 = Max)
     af_bw_hz: float = 0.0
     af_gain: float = 1.0
     agc_enabled: bool = True
@@ -174,8 +175,14 @@ class ChannelizerBank:
 
     def _params_for(self, cs: ChannelSettings) -> ChanParams:
         dd = self.demod_design
-        if cs.af_bw_hz > 0:
-            row = tables.find_filter_index(cs.af_bw_hz, self.video_bws)
+        # the pre-demod filter is selected by video_bw_hz ONLY: picking
+        # it from af_bw_hz narrowed the pre-DISCRIMINATOR channel filter
+        # whenever the operator narrowed the audio (an NFM channel with
+        # a 5 kHz AF filter would have had its FM sidebands amputated
+        # before demodulation) — caught round 4
+        if cs.video_bw_hz > 0:
+            row = tables.find_filter_index(cs.video_bw_hz,
+                                           self.video_bws)
         else:
             row = 0
         dp = demod_ops.make_params(
@@ -256,7 +263,13 @@ class ChannelizerBank:
 
     def _update(self, i: int, **changes):
         self._ch_cfgs[i] = dataclasses.replace(self._ch_cfgs[i], **changes)
-        self.params = self._build_params()
+        # channel params are independent, so a single-channel knob swap
+        # scatters ONE freshly-built row into the stacked tree — a full
+        # _build_params on a 64-1024 channel bank designed a 256-tap FIR
+        # per channel for every GUI interaction
+        row = self._params_for(self._ch_cfgs[i])
+        self.params = jax.tree.map(
+            lambda full, new: full.at[i].set(new), self.params, row)
 
     def retune(self, i: int, fine_offset_hz: float):
         """Fine retune inside channel i (the FreqSelect analogue)."""
@@ -264,6 +277,9 @@ class ChannelizerBank:
 
     def set_mode(self, i: int, mode: Mode):
         self._update(i, mode=tables.Mode(mode))
+
+    def set_video_bw(self, i: int, bw_hz: float):
+        self._update(i, video_bw_hz=bw_hz)
 
     def set_af_bw(self, i: int, bw_hz: float):
         self._update(i, af_bw_hz=bw_hz)

@@ -148,7 +148,9 @@ class ThreeBox:
         self.spots = SpotList()
         self.design = spectrum.SpectrumDesign(
             fs=cfg.fs, nfft=cfg.nfft, window=cfg.window)
-        self._window = jnp.asarray(self.design.window_array())
+        # HOST numpy (jit-closure constant policy, models/receiver.py):
+        # device-resident closure constants risk lowering-time pulls
+        self._window = np.asarray(self.design.window_array())
         self.fc_hz = cfg.fc_hz
         self._wf = jnp.full((cfg.rows, cfg.nfft), -200.0, jnp.float32)
         lo, hi = self._pan_slice()

@@ -183,8 +183,11 @@ class ReceiverBank:
         # construction-time receivers, so deriving from it made every
         # later retune a dial-display-only no-op (the DSP kept listening
         # at the old frequency) — caught round 4. A chained RX
-        # (rc.src >= 0, the reference's -src) derives its offset from
-        # its source RX's dial instead (receiver.py:825-835).
+        # (rc.src >= 0) uses the reference's EXACT legacy formula,
+        # fc_i - fc_src with no foffset (receiver.py:825-835): it hits a
+        # physical station only when the device is centered on the
+        # source RX's dial (the reference's rig-IF monitoring use); for
+        # ordinary station tuning use src = -1.
         def off(rc):
             if 0 <= rc.src < len(self._rx_cfgs):
                 return rc.fc_hz - self._rx_cfgs[rc.src].fc_hz
@@ -256,7 +259,7 @@ class ReceiverBank:
     def to_device_block(self, x):
         """Host complex block -> device packed pair (n, 2)."""
         if jnp.iscomplexobj(x):
-            return jnp.asarray(cplx.pack(np.asarray(x)))
+            return cplx.to_device(np.asarray(x))
         return jnp.asarray(x)
 
     def step_device(self, x_p):

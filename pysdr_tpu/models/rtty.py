@@ -151,9 +151,10 @@ class RTTYDecoder:
                  expire_after: int = 4, thresh_db: float = 10.0,
                  rel_db: float = 40.0):
         self.design = design
-        self.window = jnp.asarray(design.window())
-        # jitted filterbank: complex64 must never materialize eagerly on
-        # the axon TPU backend (ops/cplx.py policy)
+        # HOST numpy, not a device array: jit-closure constants must not
+        # be device-resident on this backend (lowering-time device->host
+        # pulls stall — models/receiver.py constant policy)
+        self.window = np.asarray(design.window())
         self._fb = jax.jit(
             lambda xp: filterbank_block(xp, design, self.window))
         self.templates = jnp.asarray(char_templates(design))
@@ -223,6 +224,11 @@ class RTTYDecoder:
             self.thresh_db = thresh_db
         cand = self._candidate_bins(mags_np.mean(axis=0))
         self.channels = [self._new_channel(b) for b in sorted(cand)]
+        # a full re-detect replaces the channel set: any carried soft-bit
+        # tail indexes the OLD columns (a (t, 0) tail survives the
+        # all-expired case and would crash the next concat; a same-width
+        # stale tail would silently feed the wrong stations)
+        self._soft_tail = None
         return [c["mark_bin"] for c in self.channels]
 
     def rescan(self, mags_np: np.ndarray) -> tuple[list[int], list[int]]:
@@ -293,7 +299,13 @@ class RTTYDecoder:
             return ["" for _ in self.channels]
         consumed = n_frames * hop
         self._iq_tail = x[consumed:].copy()
-        mags = self._fb(cplx.pack(x))
+        # feed exactly the samples the frames read: the raw tail length
+        # cycles block-to-block, and feeding all of x gave the jitted
+        # filterbank dozens of distinct input shapes (one expensive
+        # compile each on this backend); the frame-exact slice has at
+        # most two shapes per block size
+        need = (n_frames - 1) * hop + bl
+        mags = self._fb(cplx.pack(x[:need]))
         # spectrum tap for the live RTTY waterfall (the reference RTTY
         # window's top pane, rtty.py:92-371): mean |X| over this block
         self.last_spectrum = np.asarray(mags).mean(axis=0)
@@ -316,7 +328,8 @@ class RTTYDecoder:
         soft_np = np.asarray(soft)                    # (n_frames, n_ch)
         # persistent soft-bit buffer so characters straddling block edges
         # decode intact (the reference's prev-symbol concat, rtty.py:825-831)
-        if self._soft_tail is not None:
+        if self._soft_tail is not None \
+                and self._soft_tail.shape[1] == soft_np.shape[1]:
             soft_np = np.concatenate([self._soft_tail, soft_np])
         fpc = d.frames_per_char
         keep = 2 * fpc

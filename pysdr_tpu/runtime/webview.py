@@ -418,11 +418,10 @@ class WebViewer:
     def _rx_row(self, i, rc, is_rx) -> dict:
         if is_rx:
             fc = rc.fc_hz
-            video_bw = rc.video_bw_hz
         else:
             bank = self.ex.bank
             fc = float(bank.cfg.center_freqs_hz()[i] + rc.fine_offset_hz)
-            video_bw = 0.0
+        video_bw = rc.video_bw_hz
         af_fr = self.display.frames.get(f"AF{i}")
         level = float(np.mean(af_fr.time_y)) if af_fr is not None else 0.0
         return {"fc": fc, "mode": tables.MODE_NAMES[rc.mode],

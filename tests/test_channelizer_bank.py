@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 
 from pysdr_tpu.config import PipelineConfig, ReceiverConfig
+from pysdr_tpu.io import synth
 from pysdr_tpu.models.channelizer_bank import (ChannelizerBank,
                                                ChannelizerBankConfig,
                                                ChannelSettings)
@@ -180,3 +181,33 @@ def test_mixed_modes_and_mute(cbank):
     finally:
         cbank.set_mute(5, False)
         cbank.set_mode(5, Mode.AM)
+
+
+def test_nfm_af_bw_does_not_clip_predemod():
+    """Round-4 fix: the pre-demod video row used to be selected from
+    af_bw_hz, so narrowing the AUDIO filter of an NFM channel amputated
+    the FM sidebands before the discriminator. A 5 kHz AF filter on an
+    NFM channel must still demodulate cleanly."""
+    n = 8
+    fs_in = n * 96e3
+    cfg = ChannelizerBankConfig(
+        fs_in=fs_in, n_channels=n, fs_out=48e3, out_block=4096,
+        fc_hz=100e6,
+        channels=tuple(ChannelSettings(mode=Mode.NFM, af_bw_hz=5e3,
+                                       agc_enabled=False)
+                       for _ in range(n)))
+    cb = ChannelizerBank(cfg)
+    offs = cfg.center_freqs_hz() - cfg.fc_hz
+    x = synth.render(
+        [synth.SignalSpec(offset_hz=float(offs[2]), mode="fm",
+                          amplitude=0.5, audio_hz=700.0)],
+        fs_in, cb.in_block * 4, noise_rms=0.0)
+    outs = [cb.step(b) for b in np.split(np.asarray(x), 4)]
+    a = np.concatenate(outs, axis=1)[2].real
+    seg = a[len(a) // 2:]
+    sp = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+    f = np.fft.rfftfreq(len(seg), 1 / 48e3)
+    pk = f[5 + np.argmax(sp[5:])]
+    assert abs(pk - 700.0) < 10.0, pk
+    snr = 20 * np.log10(sp.max() / (np.median(sp[5:]) + 1e-12))
+    assert snr > 40.0, snr

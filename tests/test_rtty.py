@@ -149,3 +149,34 @@ def test_100_parallel_channels():
     joined = "".join(texts)
     got = sum(1 for m in msgs if m in joined)
     assert got >= 90, (got, len(dec.channels))
+
+
+def test_rtty_station_reappears_after_all_expire():
+    """Round-4 fix: after every channel expired, the remapped soft tail
+    had shape (t, 0) and a reappearing station crashed the decoder's
+    concat; a fresh detect now resets the tail."""
+    d = rtty.RTTYDesign(fs=48e3)
+    dec = rtty.RTTYDecoder(d, rescan_every=1, expire_after=1)
+    msg = "RYRY CQ DE AA2IL"
+    x = rtty.synthesize_rtty(msg, d, carrier_hz=1000.0)
+    blk = 8192
+    pk = lambda v: np.stack([v.real, v.imag], -1)  # noqa: E731
+    # phase 1: decode the station
+    for i in range(0, 4 * blk, blk):
+        dec.decode_block(pk(x[i:i + blk]))
+    assert dec.channels
+    # phase 2: silence until everything expires
+    quiet = (1e-4 * np.random.default_rng(0).standard_normal(
+        (blk, 2))).astype(np.float32)
+    for _ in range(6):
+        dec.decode_block(quiet)
+    assert not dec.channels
+    # phase 3: the station comes back — decoder must survive and decode.
+    # Start past the all-mark idle preamble (4 chars ~ 31.7k samples) so
+    # the fresh detection sees mark AND space energy (an idle-only block
+    # can latch the phantom pair one shift up).
+    texts = []
+    for i in range(4 * blk, len(x) - blk, blk):
+        texts.extend(dec.decode_block(pk(x[i:i + blk])))
+    assert dec.channels
+    assert "AA2IL" in "".join(texts)
