@@ -38,7 +38,9 @@ from pysdr_tpu.parallel import stream as stream_mod
 
 
 def build_mesh(n_stream: int, n_ch: int) -> Mesh:
-    """Mesh over the first n_stream*n_ch available devices."""
+    """Mesh over the first n_stream*n_ch available devices (friendly
+    error, then delegates to the package's one mesh constructor)."""
+    from pysdr_tpu.parallel import mesh as mesh_mod
     have = len(jax.devices())
     if have < n_stream * n_ch:
         raise ValueError(
@@ -46,28 +48,29 @@ def build_mesh(n_stream: int, n_ch: int) -> Mesh:
             f"but only {have} are available (emulate with JAX_PLATFORMS"
             f"=cpu XLA_FLAGS=--xla_force_host_platform_device_count="
             f"{n_stream * n_ch})")
-    devs = np.asarray(jax.devices()[:n_stream * n_ch])
-    return Mesh(devs.reshape(n_stream, n_ch), ("stream", "ch"))
+    return mesh_mod.make_mesh(n_stream=n_stream, n_ch=n_ch)
+
+
+def _check_ch_divides(n_items: int, mesh: Mesh, what: str):
+    n_ch_axis = mesh.shape.get("ch", 1)
+    if n_items % n_ch_axis:
+        raise ValueError(
+            f"the mesh 'ch' axis ({n_ch_axis}) must divide the "
+            f"{what} count ({n_items})")
 
 
 class ShardedStreamBank:
     """ReceiverBank across a stream x ch mesh, executive-compatible."""
 
     def __init__(self, bank, mesh: Mesh, halo: int | None = None):
-        self.bank = bank
+        # own attributes (writes to anything else forward to the bank —
+        # see __setattr__)
+        object.__setattr__(self, "bank", bank)
         self.mesh = mesh
+        _check_ch_divides(bank.n_rx, mesh, "receiver")
         d = bank.design
         self._s = mesh.shape["stream"]
         seg = d.in_block
-        want = stream_mod.default_halo(d) if halo is None else halo
-        if seg < want:
-            import warnings
-            warnings.warn(
-                f"stream segment ({seg} samples, {seg / d.fs_in * 1e3:.0f}"
-                f" ms) is shorter than the recurrence-settle halo "
-                f"({want / d.fs_in * 1e3:.0f} ms): AGC/DC/squelch state "
-                f"will only partially re-settle per call — use a larger "
-                f"--block", stacklevel=2)
         self._proc, self.halo = stream_mod.make_streaming_processor(
             bank, mesh, seg, halo)
         aseg = seg * d.up // d.down
@@ -102,6 +105,22 @@ class ShardedStreamBank:
     def __getattr__(self, name):
         return getattr(self.bank, name)
 
+    # attributes the adapter owns; everything else the wrapped bank
+    # already has is written THROUGH (a read-only facade silently
+    # swallowed writes like `adapter.on_device_retune = cb` — the trap
+    # app.py once had to work around with getattr(bank, "bank", bank))
+    _OWN_ATTRS = frozenset({
+        "bank", "mesh", "halo", "design", "_s", "_proc", "_tail",
+        "_nb", "_bb", "_dstate", "_last_bb", "_w_re", "_w_im"})
+
+    def __setattr__(self, name, value):
+        bank = self.__dict__.get("bank")
+        if name in self._OWN_ATTRS or bank is None \
+                or not hasattr(bank, name):
+            object.__setattr__(self, name, value)
+        else:
+            setattr(bank, name, value)
+
 
 class ShardedChannelizerBank:
     """ChannelizerBank across a stream x ch mesh, executive-compatible.
@@ -110,19 +129,15 @@ class ShardedChannelizerBank:
     (carried tail + phase bases), giving a pure channel-sharded bank
     whose FIR state is exact across calls."""
 
+    _OWN_ATTRS = ShardedStreamBank._OWN_ATTRS
+
     def __init__(self, cb, mesh: Mesh, halo: int | None = None):
-        self.bank = cb
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        object.__setattr__(self, "bank", cb)
         self.mesh = mesh
+        _check_ch_divides(cb.n_ch, mesh, "channel")
         self._s = mesh.shape["stream"]
         seg = cb.in_block
-        want = chanshard_mod.default_halo(cb) if halo is None else halo
-        if seg < want:
-            import warnings
-            warnings.warn(
-                f"stream segment ({seg} samples) is shorter than the "
-                f"recurrence-settle halo ({want}): state only partially "
-                f"re-settles per call — use a larger --block",
-                stacklevel=2)
         self._proc, self.halo = \
             chanshard_mod.make_channelizer_streaming_processor(
                 cb, mesh, seg, halo)
@@ -132,8 +147,12 @@ class ShardedChannelizerBank:
             in_block=self._s * seg,
             out_block=self._s * cb.out_block)
         jnp = jax.numpy
-        self._w_re = jnp.asarray(np.asarray(cb.w_re))
-        self._w_im = jnp.asarray(np.asarray(cb.w_im))
+        # place the DFT factors with their final sharding once, instead
+        # of committing to device 0 and resharding every call
+        self._w_re = jax.device_put(
+            np.asarray(cb.w_re), NamedSharding(mesh, P(None, "ch")))
+        self._w_im = jax.device_put(
+            np.asarray(cb.w_im), NamedSharding(mesh, P(None, "ch")))
         self._tail = jnp.zeros((self.halo, 2), jnp.float32)
         self._nb = jnp.zeros((cb.n_ch,), jnp.int32)
         self._bb = jnp.zeros((cb.n_ch,), jnp.int32)
@@ -153,3 +172,5 @@ class ShardedChannelizerBank:
 
     def __getattr__(self, name):
         return getattr(self.bank, name)
+
+    __setattr__ = ShardedStreamBank.__setattr__

@@ -144,7 +144,8 @@ def make_channelizer_stream_processor(cb: ChannelizerBank, mesh: Mesh,
             m_h = H // n
             k_seg = nco_ops.advance(k, 0, m_seg)
             k_h = nco_ops.advance(k, 0, m_h)
-            p0 = (k_seg * s - k_h) % nco_ops.DENOM
+            p0 = (nco_ops.advance(k_seg, 0, s) - k_h
+                  + nco_ops.DENOM) % nco_ops.DENOM
             z, _ = nco_ops.mix_down(stream_col, k, p0)
             import jax.numpy as _jnp
             w = _jnp.asarray(cb.video_bank)[pr.video_row]
@@ -159,7 +160,8 @@ def make_channelizer_stream_processor(cb: ChannelizerBank, mesh: Mesh,
             bk_seg = nco_ops.advance(bk, 0, aseg)
             bk_h = nco_ops.advance(bk, 0, ahalo)
             dst = dst._replace(
-                bfo_phase=(bk_seg * s - bk_h) % nco_ops.DENOM)
+                bfo_phase=(nco_ops.advance(bk_seg, 0, s) - bk_h
+                           + nco_ops.DENOM) % nco_ops.DENOM)
             audio, _ = demod_ops_mod.demod_block(
                 bb, dst, pr.demod, cb.demod_design,
                 cb.carrier_taps, cb.pilot_taps)
@@ -210,8 +212,19 @@ def make_channelizer_streaming_processor(cb: ChannelizerBank, mesh: Mesh,
     n = cb.n_ch
     unit = n * cb.plan.down
     assert seg % unit == 0, (seg, unit)
-    H = default_halo(cb) if halo is None else halo
-    H = min(-(-H // unit) * unit, seg)
+    if "ch" in mesh.shape and n % mesh.shape["ch"]:
+        raise ValueError(f"the mesh 'ch' axis ({mesh.shape['ch']}) must "
+                         f"divide the channel count ({n})")
+    want = default_halo(cb) if halo is None else halo
+    H = min(-(-want // unit) * unit, seg)
+    if H < want:
+        import warnings
+        warnings.warn(
+            f"stream segment ({seg} samples, "
+            f"{seg / cb.cfg.fs_in * 1e3:.0f} ms) is shorter than the "
+            f"recurrence-settle halo ({want / cb.cfg.fs_in * 1e3:.0f} "
+            "ms): state only partially re-settles per call — use a "
+            "larger --block", stacklevel=3)
     n_stream = mesh.shape["stream"]
     aseg = seg * cb.plan.up // (cb.plan.down * n)
     ahalo = H * cb.plan.up // (cb.plan.down * n)
@@ -238,7 +251,7 @@ def make_channelizer_streaming_processor(cb: ChannelizerBank, mesh: Mesh,
             k = pr.nco_k
             k_seg = nco_ops.advance(k, 0, m_seg)
             k_h = nco_ops.advance(k, 0, m_h)
-            p0 = (nb + (k_seg * s) % nco_ops.DENOM - k_h
+            p0 = (nb + nco_ops.advance(k_seg, 0, s) - k_h
                   + nco_ops.DENOM) % nco_ops.DENOM
             z, _ = nco_ops.mix_down(stream_col, k, p0)
             w = jnp.asarray(cb.video_bank)[pr.video_row]
@@ -250,7 +263,7 @@ def make_channelizer_streaming_processor(cb: ChannelizerBank, mesh: Mesh,
             bk = pr.demod.bfo_k
             bk_seg = nco_ops.advance(bk, 0, aseg)
             bk_h = nco_ops.advance(bk, 0, ahalo)
-            b0 = (bb + (bk_seg * s) % nco_ops.DENOM - bk_h
+            b0 = (bb + nco_ops.advance(bk_seg, 0, s) - bk_h
                   + nco_ops.DENOM) % nco_ops.DENOM
             dst = cplx.unpack_tree(dstp, dmask)._replace(bfo_phase=b0)
             audio, new_dst = demod_ops_mod.demod_block(

@@ -27,11 +27,27 @@ def init_distributed(coordinator: str | None = None,
                      num_processes: int | None = None,
                      process_id: int | None = None) -> bool:
     """Initialize jax.distributed when running multi-process; no-op (and
-    False) for single-process runs so the same entry point serves both."""
+    False) for single-process runs so the same entry point serves both.
+
+    On a real TPU pod, pass NO flags: the cloud environment variables
+    identify the pod and jax.distributed.initialize() auto-discovers
+    everything. Without those env hints and without flags this stays
+    single-process LOUDLY (each process building a local-only mesh with
+    pid=0 everywhere is exactly the silent failure to avoid)."""
     import jax
     if num_processes is None:
         num_processes = int(os.environ.get("PYSDR_TPU_NPROCS", "1"))
     if num_processes <= 1 and coordinator is None:
+        # TPU-pod auto-discovery hints (cloud metadata / megascale env)
+        pod_env = any(os.environ.get(k) for k in
+                      ("TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS",
+                       "CLOUD_TPU_TASK_ID"))
+        if pod_env:
+            jax.distributed.initialize()
+            return True
+        print("init_distributed: single-process (no --coordinator/"
+              "--nprocs flags and no TPU-pod environment detected)",
+              flush=True)
         return False
     kw = {}
     if coordinator:

@@ -52,8 +52,10 @@ def default_halo(design: rx_mod.ReceiverDesign, settle_sec: float = 0.2
 
 
 def _shifted_phase(k, base_k_seg, base_k_halo, s):
-    """(k*(s*seg - H)) mod DENOM from precomputed per-unit advances."""
-    a = (base_k_seg * s) % nco.DENOM
+    """(k*(s*seg - H)) mod DENOM from precomputed per-unit advances.
+    nco.advance keeps every int32 product below 2^31 for ANY shard index
+    (a bare (base_k_seg * s) wraps at s >= 512 — nco.py discipline)."""
+    a = nco.advance(base_k_seg, 0, s)
     return (a - base_k_halo + nco.DENOM) % nco.DENOM
 
 
@@ -169,8 +171,17 @@ def make_streaming_processor(bank: rx_mod.ReceiverBank, mesh: Mesh,
     design = bank.design
     d, u = design.down, design.up
     assert seg % d == 0, (seg, d)
-    H = default_halo(design) if halo is None else halo
-    H = min(H, seg)
+    want = default_halo(design) if halo is None else halo
+    H = min(want, seg)
+    if seg < want:
+        import warnings
+        seg_ms = seg / design.fs_in * 1e3
+        want_ms = want / design.fs_in * 1e3
+        warnings.warn(
+            f"stream segment ({seg} samples, {seg_ms:.0f} ms) is "
+            f"shorter than the recurrence-settle halo ({want_ms:.0f} "
+            "ms): AGC/DC/squelch state will only partially re-settle "
+            "per call — use a larger --block", stacklevel=3)
     assert H % d == 0
     n_stream = mesh.shape["stream"]
     has_ch = "ch" in mesh.shape and mesh.shape["ch"] > 1
@@ -201,12 +212,14 @@ def make_streaming_processor(bank: rx_mod.ReceiverBank, mesh: Mesh,
             k = p.nco_k
             k_seg = nco.advance(k, 0, seg)
             k_h = nco.advance(k, 0, H)
-            p0 = (nb + (k_seg * s) % nco.DENOM - k_h
+            # advance(k_seg, 0, s) = (k_seg*s) mod DENOM without int32
+            # overflow at large shard counts (nco.py discipline)
+            p0 = (nb + nco.advance(k_seg, jnp.int32(0), s) - k_h
                   + nco.DENOM) % nco.DENOM
             bk = p.demod.bfo_k
             bk_seg = nco.advance(bk, 0, aseg)
             bk_h = nco.advance(bk, 0, ahalo)
-            b0 = (bb + (bk_seg * s) % nco.DENOM - bk_h
+            b0 = (bb + nco.advance(bk_seg, jnp.int32(0), s) - bk_h
                   + nco.DENOM) % nco.DENOM
             dprev = cplx.unpack_tree(dstp, dmask)
             st = rx_mod.ChannelState(

@@ -298,3 +298,27 @@ def test_streaming_sharded_audio_wire_i8():
     err = ref - tst
     snr = 10 * np.log10(float(ref @ ref) / max(float(err @ err), 1e-30))
     assert snr > 30.0, snr
+
+
+def test_adapter_setattr_forwards_to_bank():
+    """Round-4 fix: the facade's write-through — assigning an attribute
+    the wrapped bank owns (on_device_retune) must reach the bank, while
+    adapter-owned state stays on the adapter."""
+    bank = make_bank(n_ch=2, out_block=9600)
+    m = mesh_mod.make_mesh(n_stream=2, n_ch=1)
+    ad = ShardedStreamBank(bank, m)
+    cb = lambda c: None  # noqa: E731
+    ad.on_device_retune = cb
+    assert bank.on_device_retune is cb
+    assert "on_device_retune" not in ad.__dict__
+    ad._last_bb = "mine"                    # adapter-owned
+    assert ad.__dict__["_last_bb"] == "mine"
+    assert getattr(bank, "_last_bb", None) != "mine"
+
+
+def test_adapter_rejects_indivisible_ch_axis():
+    import pytest as _pytest
+    bank = make_bank(n_ch=3, out_block=9600)
+    m = mesh_mod.make_mesh(n_stream=2, n_ch=2)
+    with _pytest.raises(ValueError, match="must divide"):
+        ShardedStreamBank(bank, m)
