@@ -337,9 +337,13 @@ def build_source(args, cfg: cfg_mod.PipelineConfig):
         if start == 0.0 and not args.no_native:
             from pysdr_tpu.runtime import native
             if native.available():
-                ns = native.NativeStreamer(args.replay[0],
-                                           loop=not args.no_loop)
-                return ns, ns.srate, ns.fc
+                try:
+                    ns = native.NativeStreamer(args.replay[0],
+                                               loop=not args.no_loop)
+                    return ns, ns.srate, ns.fc
+                except OSError:
+                    pass   # container the C++ refuses (multi-channel /
+                           # exotic dtype): the Python reader handles it
         rd = datfile.DatReader(args.replay[0], start_sec=start)
         # replay restores fs/fc from the header (receiver.py:810-820)
         return rd, rd.srate, rd.fc
@@ -395,8 +399,11 @@ def build_channelizer(args):
         if start == 0.0 and not args.no_native:
             from pysdr_tpu.runtime import native
             if native.available():
-                return bank, native.NativeStreamer(
-                    args.replay[0], loop=not args.no_loop), cfg
+                try:
+                    return bank, native.NativeStreamer(
+                        args.replay[0], loop=not args.no_loop), cfg
+                except OSError:
+                    pass   # fall back to the Python reader
         rd = datfile.DatReader(args.replay[0], start_sec=start)
         return bank, rd, cfg
     if args.rtl_tcp:

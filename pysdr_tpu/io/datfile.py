@@ -92,8 +92,26 @@ class DatWriter:
         n_in = x.size
         if self.header.nchan > 1 and x.ndim == 2:
             x = x.reshape(-1)  # interleave channel-last
-        if self.header.dtype in _INT_IQ and np.iscomplexobj(x):
-            x = _quantize_iq(x, self.header.dtype)   # compact IQ pairs
+        if self.header.dtype in _INT_IQ:
+            if np.iscomplexobj(x):
+                x = _quantize_iq(x, self.header.dtype)
+            elif x.dtype == np.dtype(self.header.dtype):
+                pass                 # already-quantized raw pairs
+            elif np.issubdtype(x.dtype, np.floating):
+                # packed float pairs and real audio quantize with the
+                # same full-scale convention (a bare astype would
+                # TRUNCATE [-1,1] floats to 0/±1 — near-silence — with
+                # no warning)
+                if x.ndim == 2 and x.shape[-1] == 2:
+                    x = (x[..., 0] + 1j * x[..., 1]
+                         ).astype(np.complex64)
+                else:
+                    x = x.astype(np.complex64)
+                x = _quantize_iq(x, self.header.dtype)
+            else:
+                raise TypeError(
+                    f"cannot write {x.dtype} samples into an "
+                    f"{self.header.dtype} IQ container")
         else:
             x = x.astype(self.header.dtype, copy=False)
         self._f.write(x.tobytes())
@@ -147,7 +165,10 @@ class DatReader:
             raw = self._f.read(n * self._isize)
             while loop and len(raw) < n * self._isize:
                 self._f.seek(self._data_start)
-                raw += self._f.read(n * self._isize - len(raw))
+                got = self._f.read(n * self._isize - len(raw))
+                if not got:
+                    break        # header-only file: don't spin forever
+                raw += got
         x = np.frombuffer(raw, dtype=self.header.dtype)
         if self._iq_pairs:
             x = _dequantize_iq(x, self.header.dtype)

@@ -85,12 +85,15 @@ class RtlTcpSource:
         self._sock = socket.create_connection((host, port),
                                               timeout=timeout)
         self._sock.settimeout(timeout)
-        hdr = self._recv_exact(12)
-        if hdr[:4] != MAGIC:
-            self._sock.close()
-            raise ConnectionError(
-                f"{host}:{port} is not an rtl_tcp server "
-                f"(magic {hdr[:4]!r})")
+        try:
+            hdr = self._recv_exact(12)
+            if hdr[:4] != MAGIC:
+                raise ConnectionError(
+                    f"{host}:{port} is not an rtl_tcp server "
+                    f"(magic {hdr[:4]!r})")
+        except BaseException:
+            self._sock.close()           # no leaked sockets on a torn
+            raise                        # handshake / stalled server
         self.tuner_type, self.tuner_gain_count = struct.unpack(
             ">II", hdr[4:])
         self.tuner = TUNER_NAMES.get(self.tuner_type, "UNKNOWN")
@@ -101,18 +104,22 @@ class RtlTcpSource:
         self.dropped = 0
 
         # device bring-up, reference setupSDR order (utils.py:292-353)
-        self._cmd(CMD_SET_SAMPLE_RATE, int(round(fs)))
-        if ppm:
-            self.set_freq_correction(ppm)
-        self.set_freq(fc)
-        if gain_db is None:
-            self._cmd(CMD_SET_GAIN_MODE, 0)          # tuner AGC
-        else:
-            self._cmd(CMD_SET_GAIN_MODE, 1)
-            self.set_gain(gain_db)
-        self._cmd(CMD_SET_AGC_MODE, 1 if agc else 0)
-        if bias_tee:
-            self._cmd(CMD_SET_BIAS_TEE, 1)
+        try:
+            self._cmd(CMD_SET_SAMPLE_RATE, int(round(fs)))
+            if ppm:
+                self.set_freq_correction(ppm)
+            self.set_freq(fc)
+            if gain_db is None:
+                self._cmd(CMD_SET_GAIN_MODE, 0)      # tuner AGC
+            else:
+                self._cmd(CMD_SET_GAIN_MODE, 1)
+                self.set_gain(gain_db)
+            self._cmd(CMD_SET_AGC_MODE, 1 if agc else 0)
+            if bias_tee:
+                self._cmd(CMD_SET_BIAS_TEE, 1)
+        except BaseException:
+            self._sock.close()
+            raise
 
         # SPSC byte ring drained by a reader thread. Invariant: every
         # ring write/read/drop is an EVEN byte count (whole I/Q pairs) —
@@ -284,10 +291,12 @@ class FakeRtlTcpServer:
     def __init__(self, iq: np.ndarray, tuner_type: int = 5,
                  gain_count: int = 29, chunk: int = 16384,
                  rate_sps: float | None = None):
-        u = np.clip(np.rint(
-            np.stack([iq.real, iq.imag], -1) * 127.5 + 127.5),
-            0, 255).astype(np.uint8)
-        self._payload = u.reshape(-1).tobytes()
+        if np.asarray(iq).size == 0:
+            raise ValueError("FakeRtlTcpServer needs a non-empty IQ "
+                             "block to serve")
+        from pysdr_tpu.io.datfile import _quantize_iq
+        self._payload = _quantize_iq(
+            np.asarray(iq, np.complex64), "uint8").tobytes()
         self._hdr = MAGIC + struct.pack(">II", tuner_type, gain_count)
         self.commands: list[tuple[int, int]] = []
         self.chunk = chunk

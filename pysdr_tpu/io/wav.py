@@ -21,7 +21,10 @@ def write_wav(path: str, audio, fs: float, stereo_from_complex: bool = True):
             else a.real[:, None]
     elif a.ndim == 1:
         a = a[:, None]
-    peak = np.max(np.abs(a)) or 1.0
+    if a.size == 0:                      # run ended before any audio
+        a = np.zeros((0, max(1, a.shape[-1] if a.ndim == 2 else 1)),
+                     np.float32)
+    peak = (np.max(np.abs(a)) if a.size else 0.0) or 1.0
     if peak > 1.0:
         a = a / peak
     pcm = (np.clip(a, -1, 1) * 32767.0).astype("<i2")
@@ -37,6 +40,10 @@ def read_wav(path: str):
         fs = w.getframerate()
         n = w.getnframes()
         nch = w.getnchannels()
+        width = w.getsampwidth()
         raw = w.readframes(n)
+    if width != 2:
+        raise ValueError(f"{path}: only 16-bit PCM wav is supported "
+                         f"(file has {8 * width}-bit samples)")
     a = np.frombuffer(raw, "<i2").astype(np.float32) / 32767.0
     return a.reshape(-1, nch), float(fs)

@@ -140,6 +140,11 @@ struct Streamer {
         else if (hdr.find("\"int16\"") != std::string::npos) dtype = 1;
         else if (hdr.find("\"int8\"") != std::string::npos) dtype = 2;
         else if (hdr.find("\"uint8\"") != std::string::npos) dtype = 3;
+        else return false;  // unknown dtype: refuse so the Python
+                            // reader (which understands it) is used
+        if (nchan != 1) return false;  // multi-channel taps likewise —
+                            // memcpy'ing interleaved channels as one IQ
+                            // stream would replay silently as garbage
         data_start = 12 + hlen;
         return true;
     }

@@ -42,7 +42,8 @@ def probe_replay(path: str):
           f"nchan={h.nchan} dtype={h.dtype} tag={h.tag}")
     import numpy as np
     x = rd.read_data(min(1 << 16, 4096))
-    dur = os.path.getsize(path) / (8 * h.nchan * rd.srate)
+    data_bytes = os.path.getsize(path) - rd._data_start
+    dur = data_bytes / (rd._isize * rd.srate)     # honors compact dtypes
     print(f"  ~{dur:.1f} s of capture; first block: rms="
           f"{np.sqrt(np.mean(np.abs(x) ** 2)):.4f} "
           f"peak={np.max(np.abs(x)):.4f} dc={np.mean(x):.5f}")

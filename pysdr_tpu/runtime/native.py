@@ -31,13 +31,24 @@ def _build() -> bool:
         return False
 
 
+def _stale() -> bool:
+    """True when the source is newer than the built library (an edited
+    sdrio.cpp must not keep loading the stale committed .so)."""
+    src = os.path.join(_DIR, "sdrio.cpp")
+    try:
+        return os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
+    except OSError:
+        return False
+
+
 def _load():
     global _lib
     with _build_lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_LIB_PATH) and not _build():
-            return None
+        if (not os.path.exists(_LIB_PATH) or _stale()) and not _build():
+            if not os.path.exists(_LIB_PATH):
+                return None
         lib = ctypes.CDLL(_LIB_PATH)
         fp = ctypes.POINTER(ctypes.c_float)
         lib.psdr_rb_create.restype = ctypes.c_void_p

@@ -51,11 +51,11 @@ def test_native_streamer_complex64(tmp_path, rng):
 
 def test_native_streamer_cs16(tmp_path, rng):
     from pysdr_tpu.io import datfile
-    # int16 interleaved pairs written with dtype "int16", nchan=2 per the
-    # container conventions (each complex sample = 2 int16)
+    # int16 IQ container: nchan=1, each complex sample stored as an
+    # interleaved re,im int16 pair (already-quantized raw passthrough)
     n = 10000
     raw = (rng.integers(-32768, 32767, size=2 * n)).astype(np.int16)
-    w = datfile.DatWriter(str(tmp_path / "i16.dat"), fs=1e6, nchan=2,
+    w = datfile.DatWriter(str(tmp_path / "i16.dat"), fs=1e6, nchan=1,
                           dtype="int16", tag="raw_iq")
     w.save_data(raw)
     w.close()
