@@ -552,8 +552,15 @@ class App:
         if hasattr(inner_bank, "on_device_retune") \
                 and hasattr(self.source, "set_freq"):
             tv = getattr(cfg, "transverter_hz", 0.0)
-            inner_bank.on_device_retune = \
-                lambda center: self.source.set_freq(center + tv)
+
+            def _follow_device(center):
+                self.source.set_freq(center + tv)
+                if self.display is not None:
+                    # the RF pane tracks the device passband; it only
+                    # moves when the device does (runs in the executive
+                    # thread at the block boundary the retune applies)
+                    self.display.retune(center)
+            inner_bank.on_device_retune = _follow_device
 
         # audio sinks: wav files or null (no sound card on a TPU host)
         from pysdr_tpu.runtime.audio import (FifoSink, TeeSink, WavSink,

@@ -320,7 +320,14 @@ class DisplayEngine:
         self.bank = bank
         self.decimate = max(1, decimate)
         rxs = getattr(bank.cfg, "receivers", None)
-        fc0 = rxs[0].fc_hz if rxs else getattr(bank.cfg, "fc_hz", 0.0)
+        if rxs:
+            # the RF pane shows the DEVICE passband: its center is the
+            # tuner frequency fc0 - foffset, NOT the main dial (labeling
+            # it at the dial shifted every peak/spot/click by foffset —
+            # caught round 4 by checking a peak against its station)
+            fc0 = rxs[0].fc_hz - getattr(bank.cfg, "foffset_hz", 0.0)
+        else:
+            fc0 = getattr(bank.cfg, "fc_hz", 0.0)
         rf_cfg = rf_cfg or DisplayConfig(fs=d.fs_in, fc_hz=fc0)
         af_cfg = af_cfg or DisplayConfig(fs=d.fs_out, nfft=512,
                                          pan_dir="up")

@@ -106,10 +106,19 @@ class Executive:
                 method, args = self._cmd_q.get_nowait()
             except queue.Empty:
                 return
-            if callable(method):
-                method(self, *args)
-            else:
-                getattr(self.bank, method)(*args)
+            try:
+                if callable(method):
+                    method(self, *args)
+                else:
+                    getattr(self.bank, method)(*args)
+            except Exception:  # noqa: BLE001 — one bad control command
+                # (out-of-range rx from an HTTP request, a typo'd hop
+                # entry) must not kill the DSP/audio thread
+                import sys
+                import traceback
+                print(f"executive: control command {method!r}{args!r} "
+                      f"failed:\n{traceback.format_exc(limit=3)}",
+                      file=sys.stderr, flush=True)
 
     # ---- the hot loop ----
 

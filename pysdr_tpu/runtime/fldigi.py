@@ -27,9 +27,16 @@ class FldigiClient:
         self.host = host
         self._get_m = get_counter_method
         self._set_m = set_counter_method
-        transport = xmlrpc.client.Transport()
+        # timeout on THIS connection only: mutating the process-global
+        # socket.setdefaulttimeout around calls raced every other
+        # thread's socket creation
+        class _TimeoutTransport(xmlrpc.client.Transport):
+            def make_connection(self, h):
+                conn = super().make_connection(h)
+                conn.timeout = timeout
+                return conn
         self._proxy = xmlrpc.client.ServerProxy(
-            f"http://{host}:{port}/", transport=transport,
+            f"http://{host}:{port}/", transport=_TimeoutTransport(),
             allow_none=True)
         self._timeout = timeout
 
@@ -37,12 +44,7 @@ class FldigiClient:
         obj = self._proxy
         for part in dotted.split("."):
             obj = getattr(obj, part)
-        old = socket.getdefaulttimeout()
-        socket.setdefaulttimeout(self._timeout)
-        try:
-            return obj(*args)
-        finally:
-            socket.setdefaulttimeout(old)
+        return obj(*args)
 
     def get_counter(self) -> int:
         return int(self._call(self._get_m))

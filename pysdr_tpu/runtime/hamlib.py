@@ -38,7 +38,11 @@ MODE_MAP = {
     "FM": tables.Mode.NFM, "WFM": tables.Mode.WFM, "CW": tables.Mode.CW,
     "CWR": tables.Mode.CW, "RTTY": tables.Mode.RTTY, "PKTUSB": tables.Mode.IQ,
 }
-MODE_NAME = {v: k for k, v in MODE_MAP.items()}
+# reverse map: FIRST name wins for aliased modes (CW/CWR both map to
+# Mode.CW — last-wins reported 'CWR' to clients that set 'CW')
+MODE_NAME = {}
+for _name, _mode in MODE_MAP.items():
+    MODE_NAME.setdefault(_mode, _name)
 
 
 class RigState:

@@ -20,7 +20,9 @@ from pysdr_tpu import tables
 # `rig_io.bands` table used for hopping (reference params.py:24,
 # hopper.py:163-169).
 BANDS_KHZ = {
-    "160m": {"FT8": 1840, "FT4": 1050 + 800, "CW1": 1810, "CW2": 1840},
+    # WSJT-X defines no 160m FT4 slot; use the 1840 digital window (the
+    # old '1050 + 800' literal landed hops in the SSB segment)
+    "160m": {"FT8": 1840, "FT4": 1840, "CW1": 1810, "CW2": 1840},
     "80m": {"FT8": 3573, "FT4": 3575.5, "CW1": 3510, "CW2": 3560},
     "40m": {"FT8": 7074, "FT4": 7047.5, "CW1": 7010, "CW2": 7060},
     "30m": {"FT8": 10136, "FT4": 10140, "CW1": 10110, "CW2": 10120},

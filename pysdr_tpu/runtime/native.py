@@ -19,7 +19,8 @@ import numpy as np
 _DIR = os.path.join(os.path.dirname(__file__), "..", "native")
 _LIB_PATH = os.path.join(_DIR, "libsdrio.so")
 _lib = None
-_build_lock = threading.Lock()
+_load_failed = False      # remember a failed build/dlopen: the rtl_tcp
+_build_lock = threading.Lock()   # hot path must not re-spawn make per block
 
 
 def _build() -> bool:
@@ -42,14 +43,21 @@ def _stale() -> bool:
 
 
 def _load():
-    global _lib
+    global _lib, _load_failed
     with _build_lock:
         if _lib is not None:
             return _lib
+        if _load_failed:
+            return None
         if (not os.path.exists(_LIB_PATH) or _stale()) and not _build():
             if not os.path.exists(_LIB_PATH):
+                _load_failed = True
                 return None
-        lib = ctypes.CDLL(_LIB_PATH)
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            _load_failed = True
+            return None
         fp = ctypes.POINTER(ctypes.c_float)
         lib.psdr_rb_create.restype = ctypes.c_void_p
         lib.psdr_rb_create.argtypes = [ctypes.c_size_t]

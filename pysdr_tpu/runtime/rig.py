@@ -43,12 +43,21 @@ class RigConnection:
                 self._sock.sendall((line + "\n").encode())
                 buf = b""
                 while buf.count(b"\n") < n_lines:
+                    # an error reply is a single 'RPRT -n' line even for
+                    # multi-line queries: waiting for more would time
+                    # out and (worse) mark the connection dead over one
+                    # unsupported command
+                    if buf.startswith(b"RPRT") and buf.endswith(b"\n"):
+                        break
                     chunk = self._sock.recv(4096)
                     if not chunk:
                         self.active = False
                         return []
                     buf += chunk
                 return buf.decode(errors="replace").splitlines()
+            except socket.timeout:
+                # transient stall: drop this reply, keep the connection
+                return []
             except OSError:
                 self.active = False
                 return []

@@ -198,8 +198,17 @@ class UdpServer:
                     continue
                 except OSError:
                     return
-                for r in self.handler.handle(data.decode(errors="replace")):
-                    self.sock.sendto(r.encode(), addr)
+                try:
+                    for r in self.handler.handle(
+                            data.decode(errors="replace")):
+                        self.sock.sendto(r.encode(), addr)
+                except Exception:  # noqa: BLE001 — one malformed
+                    # datagram must not kill the bandmap/keyer thread
+                    import sys
+                    import traceback
+                    print("udp: bad datagram "
+                          f"{data[:80]!r}: {traceback.format_exc(limit=1)}",
+                          file=sys.stderr, flush=True)
         self._thread = threading.Thread(target=loop, daemon=True)
         self._thread.start()
         return self

@@ -81,7 +81,16 @@ class WatchDog:
         def tick():
             if self._stopped.is_set():
                 return
-            self.check_once()
+            try:
+                self.check_once()
+            except Exception:  # noqa: BLE001 — a one-off failure (log
+                # disk full, ring torn down) must not silently end the
+                # self-rescheduling chain: the watchdog IS the safety net
+                import sys
+                import traceback
+                print(f"watchdog {self.stats.tag}: check failed: "
+                      f"{traceback.format_exc(limit=1)}",
+                      file=sys.stderr, flush=True)
             self._timer = threading.Timer(self.period_s, tick)
             self._timer.daemon = True
             self._timer.start()
@@ -92,7 +101,9 @@ class WatchDog:
         if self._timer:
             self._timer.cancel()
         if self._log:
-            self._log.close()
+            # a timer-thread pass may be mid-write: detach before close
+            log, self._log = self._log, None
+            log.close()
 
 
 class PairWatchDog(WatchDog):
@@ -123,17 +134,25 @@ class PairWatchDog(WatchDog):
         s.underflows = sum(r.underflows for r in self.rings)
         size = min(r.size for r in self.rings)
         if max(depths) > self.high:     # drop the same n from BOTH rings
+            # the SAME count must actually be applicable to both: clamp
+            # to the emptiest ring's backlog, or the clamped drop on one
+            # side would skew L/R alignment — the thing this class exists
+            # to prevent
             n = int((max(depths) - self.target) * size)
-            for r in self.rings:
-                r.drop(n)
-            s.drops += 1
-            self._log_event("HIGH", n)
+            n = min(n, min(r.nsamps for r in self.rings))
+            if n > 0:
+                for r in self.rings:
+                    r.drop(n)
+                s.drops += 1
+                self._log_event("HIGH", n)
         elif depth < self.low:          # zero-fill both by the same n
             n = int((self.target - depth) * size)
-            for r in self.rings:
-                r.push_zeros(n)
-            s.zero_fills += 1
-            self._log_event("LOW", n)
+            n = min(n, min(r.size - r.nsamps for r in self.rings))
+            if n > 0:
+                for r in self.rings:
+                    r.push_zeros(n)
+                s.zero_fills += 1
+                self._log_event("LOW", n)
         if self._log:
             self._log.write(f"{s.tag},{time.time():.3f},"
                             f"{min(r.nsamps for r in self.rings)},"

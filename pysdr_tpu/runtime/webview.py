@@ -485,10 +485,18 @@ class WebViewer:
 
     # --- control plane (FreqSelect / ModeSelect / sliders) ---
 
+    _PER_RX_METHODS = frozenset({
+        "retune", "set_mode", "set_video_bw", "set_af_bw",
+        "set_af_gain", "set_squelch", "set_agc", "set_mute"})
+
     def post(self, method, *args):
         """Guarded executive post: only control methods the active bank
-        implements (the channelizer has no video-BW bank, for one)."""
+        implements, with the RX index clamped (an out-of-range rx from a
+        hand-typed URL must not reach the DSP thread)."""
         if hasattr(self.ex.bank, method):
+            if method in self._PER_RX_METHODS and args:
+                n = len(self._rx_cfgs()[0])
+                args = (max(0, min(int(args[0]), n - 1)),) + args[1:]
             self.ex.post(method, *args)
 
     def tune(self, freq_hz: float, rx: int = 0):
@@ -498,6 +506,7 @@ class WebViewer:
         if spot is not None:
             freq_hz = spot.freq_hz
         cfgs, is_rx = self._rx_cfgs()
+        rx = max(0, min(rx, len(cfgs) - 1))   # never post a bad index
         if is_rx:
             self.ex.post("retune", rx, freq_hz)
         else:
@@ -506,11 +515,12 @@ class WebViewer:
             ch = bank.channel_of(freq_hz)
             off = freq_hz - float(bank.cfg.center_freqs_hz()[ch])
             self.ex.post("retune", ch, off)
-        if rx == 0:
-            self.display.retune(freq_hz)
+        # the RF pane tracks the DEVICE passband, which in-passband
+        # retunes do not move; device-follow retunes re-center it via
+        # the bank's on_device_retune chain (app.py)
 
     def set_mode(self, name: str, rx: int = 0):
-        self.ex.post("set_mode", rx, tables.mode_from_name(name))
+        self.post("set_mode", rx, tables.mode_from_name(name))
 
     # --- rig-control pane (reference RIG_CONTROL tab,
     # rig_control.py:45-366: band/mode/antenna groups, TX power/mic/
@@ -643,7 +653,6 @@ class WebViewer:
         fa, fb = cfgs[0].fc_hz, cfgs[1].fc_hz
         self.ex.post("retune", 0, fb)
         self.ex.post("retune", 1, fa)
-        self.display.retune(fb)
 
     # --- lifecycle ---
 

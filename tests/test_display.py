@@ -145,3 +145,22 @@ def test_display_engine_with_bank():
     p = eng.export_png("/tmp/_pysdr_wf_test.png", "RF")
     assert os.path.exists(p)
     os.unlink(p)
+
+
+def test_rf_display_labels_absolute_station_frequency():
+    """Round-4 fix: the RF pane is centered on the DEVICE passband
+    (dial - foffset), not the dial — labeling it at the dial shifted
+    every peak/spot/click-target by foffset. A synth station at the
+    600 kHz dial must produce an RF peak labeled 600 kHz."""
+    from pysdr_tpu import app as app_mod
+
+    args = app_mod.build_parser().parse_args(
+        ["--fs", "0.512", "--block", "4096", "--psd", "--psd-every", "1"])
+    a = app_mod.App(args)
+    a.ex.run(n_blocks=4)
+    fr = a.display.frames["RF"]
+    pk = np.asarray(fr.peak_freqs_hz)
+    assert np.any(np.abs(pk - 600e3) < 2e3), pk
+    # the axis center is the device tuner frequency
+    ctr = fr.freqs_hz[len(fr.freqs_hz) // 2]
+    assert abs(ctr - a.cfg.sdr_center_hz) < 2e3, ctr

@@ -380,3 +380,21 @@ def test_webview_record_honors_save_iq_dtype(tmp_path):
         assert len(x) > 0 and np.iscomplexobj(x)
     finally:
         a.stop_services()
+
+
+def test_bad_control_request_does_not_kill_executive():
+    """Round-4 fix: an out-of-range rx in a hand-typed URL is clamped,
+    and even a command that throws is swallowed by the executive's
+    command loop instead of killing the DSP thread."""
+    a = _mk_app()
+    try:
+        p = a.web.port
+        _get(p, "/tune?rx=7&f=612345")          # clamped to rx 0
+        _get(p, "/gain?rx=9&v=2.0")
+        a.ex.post(lambda ex: (_ for _ in ()).throw(RuntimeError("boom")))
+        a.ex.run(n_blocks=3)                    # survives all of it
+        assert a.ex.n_blocks == 3
+        assert a.bank._rx_cfgs[0].fc_hz == 612345.0
+        assert a.bank._rx_cfgs[0].af_gain == 2.0
+    finally:
+        a.stop_services()
