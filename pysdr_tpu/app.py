@@ -41,13 +41,33 @@ def build_parser() -> argparse.ArgumentParser:
         prog="pysdr_tpu",
         description="TPU-native multi-channel SDR receiver (headless)")
     # -- channels (reference -fc nargs='*', -mode; params.py:76-77) --
-    ap.add_argument("--fc", type=float, nargs="*", default=[0.6],
-                    help="per-RX center freqs in MHz (up to %d)" % MAX_RX)
+    ap.add_argument("--fc", type=float, nargs="*", default=None,
+                    help="per-RX center freqs in MHz (up to %d; "
+                         "default 0.6)" % MAX_RX)
     ap.add_argument("--mode", type=str, default="AM",
                     help="demod mode for all RXs (AM/AM-Synch/USB/LSB/CW/"
                          "IQ/WFM/WFM2/NFM/RTTY)")
     ap.add_argument("--modes", type=str, nargs="*", default=None,
                     help="per-RX mode list (overrides --mode)")
+    ap.add_argument("--ft8", type=str, nargs="*", default=None,
+                    metavar="BAND",
+                    help="one-step FT8 RX layout expansion (reference "
+                         "-ft8, params.py:254-267): with no BAND, "
+                         "append a USB sub-RX on the first RX's band "
+                         "FT8 slot; with BANDs (e.g. 40m 20m), one USB "
+                         "RX per band's FT8 slot — all slots must fit "
+                         "the device passband. Without --fc the slots "
+                         "ARE the layout")
+    ap.add_argument("--ft4", type=str, nargs="*", default=None,
+                    metavar="BAND",
+                    help="FT4 layout expansion (reference -ft4 "
+                         "expand_ft4, utils.py:442-453): with no BAND, "
+                         "append each RX's band FT4 slot (doubling the "
+                         "layout); with BANDs, one USB RX per band's "
+                         "FT4 slot")
+    ap.add_argument("--ft44", action="store_true",
+                    help="append one FT4 sub-RX for the first RX's "
+                         "band (reference -ft44)")
     ap.add_argument("--video-bw", type=float, default=0.0,
                     help="pre-demod filter BW in kHz (0 = Max)")
     ap.add_argument("--af-bw", type=float, default=0.0,
@@ -114,6 +134,13 @@ def build_parser() -> argparse.ArgumentParser:
                          "tunes to the derived SDR center at startup "
                          "and RXs tune within that passband; "
                          "--rf-gain/--ppm program the dongle")
+    ap.add_argument("--rtl-tcp-retries", type=int, default=5,
+                    metavar="N",
+                    help="auto-reconnect a dropped/stalled rtl_tcp "
+                         "session with up to N attempts per outage, "
+                         "re-programming the device from its model "
+                         "state (reference watchdog.py:96-123 network "
+                         "retry discipline); 0 fails loudly instead")
     ap.add_argument("--synth-noise", type=float, default=0.001,
                     help="noise RMS for the synthetic source (-fake "
                          "equivalent, utils.py:71-273)")
@@ -279,11 +306,74 @@ def _fs_out_hz(args, modes) -> float:
     return 48e3
 
 
+def _expand_digi_layout(args, fcs_mhz: list, mode_names: list):
+    """One-flag FT8/FT4 RX layout expansion (reference params.py:254-267:
+    -ft8 grows a single RX into main + FT8 sub-RX, -ft4 doubles the
+    list with each band's FT4 slot via expand_ft4 utils.py:442-453,
+    -ft44 appends one FT4 sub-RX). Band arguments generalize this:
+    --ft8 40m 20m appends one USB RX per band slot; with no --fc given
+    the named slots ARE the layout."""
+    from pysdr_tpu.runtime.hopper import BANDS_KHZ, freq2band
+
+    def slot_mhz(band: str, name: str) -> float:
+        try:
+            return BANDS_KHZ[band][name] / 1e3
+        except KeyError:
+            raise ValueError(
+                f"unknown band {band!r} for --{name.lower()} "
+                f"(choose from {', '.join(BANDS_KHZ)})") from None
+
+    def band_of(fc_mhz: float) -> str:
+        b = freq2band(fc_mhz * 1e6)
+        if b == "?":
+            raise ValueError(
+                f"{fc_mhz} MHz is not inside a ham band; give explicit "
+                "bands to --ft8/--ft4 (e.g. --ft8 40m)")
+        return b
+
+    fcs, modes = list(fcs_mhz), list(mode_names)
+    if args.ft8 is not None:
+        if args.ft8:                       # bands listed
+            if args.fc is None:
+                fcs, modes = [], []        # the slots are the layout
+            for b in args.ft8:
+                fcs.append(slot_mhz(b, "FT8"))
+                modes.append("USB")
+        else:                              # main RX + FT8 sub-RX
+            fcs.append(slot_mhz(band_of(fcs[0]), "FT8"))
+            modes.append("USB")
+    if args.ft4 is not None:
+        if args.ft4:
+            if args.fc is None and args.ft8 is None:
+                fcs, modes = [], []
+            for b in args.ft4:
+                fcs.append(slot_mhz(b, "FT4"))
+                modes.append("USB")
+        else:                              # reference expand_ft4
+            for fc in list(fcs):
+                fcs.append(slot_mhz(band_of(fc), "FT4"))
+                modes.append("USB")
+    if args.ft44:
+        fcs.append(slot_mhz(band_of(fcs[0]), "FT4"))
+        modes.append("USB")
+    return fcs, modes
+
+
 def build_config(args) -> cfg_mod.PipelineConfig:
-    fcs = [f * 1e6 for f in args.fc][:MAX_RX]
-    mode_names = args.modes if args.modes else [args.mode] * len(fcs)
-    if len(mode_names) < len(fcs):
-        mode_names += [mode_names[-1]] * (len(fcs) - len(mode_names))
+    fcs_mhz = list(args.fc if args.fc is not None else [0.6])
+    mode_names = list(args.modes) if args.modes \
+        else [args.mode] * len(fcs_mhz)
+    if len(mode_names) < len(fcs_mhz):
+        mode_names += [mode_names[-1]] * (len(fcs_mhz) - len(mode_names))
+    if args.ft8 is not None or args.ft4 is not None or args.ft44:
+        fcs_mhz, mode_names = _expand_digi_layout(args, fcs_mhz,
+                                                  mode_names)
+    if len(fcs_mhz) > MAX_RX:
+        print(f"warning: only {MAX_RX} receivers are supported; "
+              f"dropping {len(fcs_mhz) - MAX_RX} "
+              "(reference params.py:271-277)", file=sys.stderr)
+    fcs = [f * 1e6 for f in fcs_mhz][:MAX_RX]
+    mode_names = mode_names[:MAX_RX]
     modes = [tables.mode_from_name(m) for m in mode_names]
     fs_in = args.fs * 1e6
     if args.foffset is not None:
@@ -322,7 +412,8 @@ def _rtl_tcp_source(args, fs: float, fc: float):
     host, _, port = args.rtl_tcp.partition(":")
     return rtltcp.RtlTcpSource(
         host or "127.0.0.1", int(port or 1234), fs=fs, fc=fc,
-        gain_db=args.rf_gain, ppm=args.ppm)
+        gain_db=args.rf_gain, ppm=args.ppm,
+        reconnect=args.rtl_tcp_retries)
 
 
 def build_source(args, cfg: cfg_mod.PipelineConfig):
@@ -379,8 +470,9 @@ def build_channelizer(args):
     n = int(args.channelize)
     mode = tables.mode_from_name(args.mode)
     fs_in = args.fs * 1e6
-    fc = args.fc[0] * 1e6
-    cs = ChannelSettings(mode=mode, af_bw_hz=args.af_bw * 1e3,
+    fc = (args.fc if args.fc is not None else [0.6])[0] * 1e6
+    cs = ChannelSettings(mode=mode, video_bw_hz=args.video_bw * 1e3,
+                         af_bw_hz=args.af_bw * 1e3,
                          af_gain=args.af_gain,
                          agc_enabled=not args.no_agc,
                          squelch_db=args.squelch,
@@ -875,7 +967,7 @@ def main(argv=None) -> int:
         if not match:
             print(f"unknown preset {args.preset!r}", file=sys.stderr)
             return 2
-        args.fc = [match[0].freq_hz / 1e6] + list(args.fc[1:])
+        args.fc = [match[0].freq_hz / 1e6] + list(args.fc or [])[1:]
         args.mode = tables.MODE_NAMES[match[0].mode]
         args.modes = None
     try:

@@ -119,7 +119,15 @@ def auto_foffset(fcs_hz: Sequence[float], fs_in: float,
     fc0 = fcs_hz[0]
     lo, hi = min(fcs_hz), max(fcs_hz)
     center = 0.5 * (lo + hi)
-    foff = center - fc0
+    # Device center lands at fc0 - foffset (sdr_center_hz) and channel i
+    # sits at passband position foffset + fc_i - fc0, so centering the
+    # span needs foffset = fc0 - center. (The reference's
+    # FOFFSET = fo - max(fc) at params.py:311-315 is the same thing
+    # under its ascending-FRQS launcher convention. The previous
+    # `center - fc0` here was the MIRROR of the midpoint — harmless for
+    # kHz-scale spans, but a 4 MHz FT8 multi-band layout pushed
+    # channels outside the passband.)
+    foff = fc0 - center
     if abs(foff) < min_offset_hz:
         foff = min_offset_hz if foff >= 0 else -min_offset_hz
     span = hi - lo

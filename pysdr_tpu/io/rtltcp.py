@@ -21,9 +21,12 @@ Samples are unsigned 8-bit I/Q pairs; full scale maps to |x| = 1.0
 
 from __future__ import annotations
 
+import queue
 import socket
 import struct
+import sys
 import threading
+import time
 
 import numpy as np
 
@@ -79,12 +82,27 @@ class RtlTcpSource:
     def __init__(self, host: str, port: int, fs: float, fc: float,
                  gain_db: float | None = None, ppm: float = 0.0,
                  ring_samples: int = 1 << 22, timeout: float = 5.0,
-                 agc: bool = False, bias_tee: bool = False):
+                 agc: bool = False, bias_tee: bool = False,
+                 reconnect: int = 0, reconnect_wait: float = 1.0):
         self.srate = float(fs)
         self.fc = float(fc)
+        self._host, self._port = host, port
+        self._timeout = timeout
+        # auto-reconnect discipline (reference watchdog.py:96-123: network
+        # clients re-establish with capped retries). `reconnect` is the
+        # max consecutive attempts per outage; 0 = fail loudly (bench
+        # behavior). On success the full device state is re-programmed
+        # from the host-side shadows and one gap line is logged.
+        self._reconnect = int(reconnect)
+        self._reconnect_wait = float(reconnect_wait)
+        self.reconnects = 0
+        self._gain_db = gain_db          # None = tuner hardware AGC
+        self._agc, self._bias = bool(agc), bool(bias_tee)
         self._sock = socket.create_connection((host, port),
                                               timeout=timeout)
         self._sock.settimeout(timeout)
+        self._sock_lock = threading.Lock()
+        self._cmdq: queue.Queue | None = None   # sync sends until started
         try:
             hdr = self._recv_exact(12)
             if hdr[:4] != MAGIC:
@@ -134,6 +152,14 @@ class RtlTcpSource:
         self._lock = threading.Lock()
         self._avail = threading.Condition(self._lock)
         self._stop = threading.Event()
+        # Device commands are issued by a dedicated writer thread: the
+        # executive's command queue only mutates host-side state, so a
+        # stalled server / full TCP buffer can never block the DSP/audio
+        # hot loop for the socket timeout (sendall can take seconds).
+        self._cmdq = queue.Queue()
+        self._writer = threading.Thread(target=self._write_loop,
+                                        daemon=True)
+        self._writer.start()
         self._thread = threading.Thread(target=self._pump, daemon=True)
         self._thread.start()
 
@@ -149,7 +175,88 @@ class RtlTcpSource:
         return buf
 
     def _cmd(self, cmd: int, value: int):
-        self._sock.sendall(struct.pack(">BI", cmd, value & 0xFFFFFFFF))
+        pkt = struct.pack(">BI", cmd, value & 0xFFFFFFFF)
+        if self._cmdq is None:           # constructor bring-up: sync
+            self._sock.sendall(pkt)
+        else:                            # running: never block the caller
+            self._cmdq.put(pkt)
+
+    def _write_loop(self):
+        """Drains queued device commands onto the socket. A send failure
+        is swallowed: the host-side shadow keeps the intended state and
+        a reconnect re-programs the whole device from it."""
+        while not self._stop.is_set():
+            try:
+                pkt = self._cmdq.get(timeout=0.2)
+            except queue.Empty:
+                continue
+            with self._sock_lock:
+                sock = self._sock
+            try:
+                sock.sendall(pkt)
+            except OSError:
+                pass
+
+    def _program(self, sock: socket.socket):
+        """Full device bring-up on `sock` from the state shadows —
+        the reference setupSDR order (utils.py:292-353), reused by both
+        the constructor and every reconnect."""
+        def send(cmd, value):
+            sock.sendall(struct.pack(">BI", cmd, value & 0xFFFFFFFF))
+        send(CMD_SET_SAMPLE_RATE, int(round(self.srate)))
+        if self.ppm:
+            send(CMD_SET_FREQ_CORR, int(round(self.ppm)))
+        if self.direct_sampling:
+            send(CMD_SET_DIRECT_SAMPLING, self.direct_sampling)
+        send(CMD_SET_FREQ, int(round(self.fc)))
+        if self._gain_db is None:
+            send(CMD_SET_GAIN_MODE, 0)               # tuner AGC
+        else:
+            send(CMD_SET_GAIN_MODE, 1)
+            send(CMD_SET_GAIN, int(round(self.rf_gain_db * 10.0)))
+        send(CMD_SET_AGC_MODE, 1 if self._agc else 0)
+        if self._bias:
+            send(CMD_SET_BIAS_TEE, 1)
+
+    def _re_establish(self, reason: str) -> bool:
+        """Reconnect after `reason` (EOF / stall / socket error) with at
+        most `self._reconnect` attempts; re-handshakes and re-programs
+        srate/freq/gain/ppm from the device-model state. Returns True
+        when streaming may resume."""
+        self._partial = b""
+        t0 = time.monotonic()
+        for attempt in range(1, self._reconnect + 1):
+            if self._stop.is_set():
+                return False
+            try:
+                self._sock.close()
+            except OSError:
+                pass
+            try:
+                sock = socket.create_connection(
+                    (self._host, self._port), timeout=self._timeout)
+                sock.settimeout(self._timeout)
+                hdr = b""
+                while len(hdr) < 12:
+                    chunk = sock.recv(12 - len(hdr))
+                    if not chunk:
+                        raise ConnectionError("closed during handshake")
+                    hdr += chunk
+                if hdr[:4] != MAGIC:
+                    raise ConnectionError(f"bad magic {hdr[:4]!r}")
+                self._program(sock)
+                with self._sock_lock:
+                    self._sock = sock
+                self.reconnects += 1
+                print(f"rtl_tcp: {reason}; reconnected to "
+                      f"{self._host}:{self._port} after "
+                      f"{time.monotonic() - t0:.1f} s "
+                      f"(attempt {attempt}/{self._reconnect}), "
+                      "device re-programmed", file=sys.stderr)
+                return True
+            except (OSError, ConnectionError):
+                time.sleep(min(self._reconnect_wait * attempt, 5.0))
+        return False
 
     # ---- Soapy-shaped device surface (reference utils.py:122-273) ----
 
@@ -191,12 +298,26 @@ class RtlTcpSource:
                 try:
                     data = self._sock.recv(65536)
                 except socket.timeout:
-                    # a stalled server is NOT end-of-stream: keep
-                    # waiting here so the consumer's own read timeout
-                    # raises the loud TimeoutError instead of this
-                    # thread silently closing the ring as EOF
+                    # a stalled server is NOT end-of-stream. With
+                    # reconnect enabled, one full socket-timeout of
+                    # silence from live hardware bounces the session;
+                    # otherwise keep waiting so the consumer's own read
+                    # timeout raises the loud TimeoutError instead of
+                    # this thread silently closing the ring as EOF
+                    if self._reconnect:
+                        if self._re_establish("stall"):
+                            continue
+                        return               # retries exhausted
                     continue
+                except OSError:
+                    if self._reconnect and \
+                            self._re_establish("socket error"):
+                        continue
+                    return
                 if not data:
+                    if self._reconnect and \
+                            self._re_establish("server closed"):
+                        continue
                     return
                 data = self._partial + data
                 if len(data) % 2:
@@ -272,6 +393,14 @@ class RtlTcpSource:
         return _cu8_to_pairs(raw)
 
     def close(self):
+        # let in-flight device commands drain (bounded) before tearing
+        # the socket down, so a set_gain immediately before close still
+        # reaches the dongle
+        if self._cmdq is not None:
+            deadline = time.monotonic() + 1.0
+            while not self._cmdq.empty() and time.monotonic() < deadline:
+                time.sleep(0.01)
+            time.sleep(0.02)             # writer may be mid-sendall
         self._stop.set()
         try:
             self._sock.shutdown(socket.SHUT_RDWR)
@@ -280,6 +409,8 @@ class RtlTcpSource:
         self._sock.close()
         if self._thread.is_alive():
             self._thread.join(timeout=2.0)
+        if self._writer.is_alive():
+            self._writer.join(timeout=2.0)
 
 
 class FakeRtlTcpServer:
@@ -290,7 +421,10 @@ class FakeRtlTcpServer:
 
     def __init__(self, iq: np.ndarray, tuner_type: int = 5,
                  gain_count: int = 29, chunk: int = 16384,
-                 rate_sps: float | None = None):
+                 rate_sps: float | None = None, port: int = 0):
+        """`port=0` picks an ephemeral port; pass a previous instance's
+        `.port` to model a server bounce on the same address (the
+        auto-reconnect tests)."""
         if np.asarray(iq).size == 0:
             raise ValueError("FakeRtlTcpServer needs a non-empty IQ "
                              "block to serve")
@@ -303,7 +437,7 @@ class FakeRtlTcpServer:
         self.rate_sps = rate_sps          # None = as fast as TCP goes
         self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
-        self._srv.bind(("127.0.0.1", 0))
+        self._srv.bind(("127.0.0.1", port))
         self._srv.listen(1)
         self.port = self._srv.getsockname()[1]
         self._stop = threading.Event()

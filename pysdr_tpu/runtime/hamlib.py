@@ -68,6 +68,7 @@ class RigState:
         # from the viewer/hopper).
         self.dial_hz: float | None = None
         self._known_fc: set = set()
+        self._last_target: float | None = None
         # dial/RIT mutations come from every ThreadingTCPServer client
         # thread (wsjtx polling while the web pane tunes): serialize the
         # read-modify-post sequences so no retune is computed from a
@@ -93,11 +94,18 @@ class RigState:
 
     def _post_retune(self, target_hz: float):
         if len(self._known_fc) > 64:
-            # bound the consistency set over long sessions: keep only
-            # the values still plausibly pending/applied
+            # bound the consistency set over long sessions: keep the
+            # current fc AND the most recent posted target — a retune
+            # still pending in the executive queue at prune time must
+            # not be misread as an external retune (which would resync
+            # the dial to fc - rit and briefly report a wrong dial to
+            # polling clients when RIT is nonzero)
             self._known_fc = {self._cfg.fc_hz}
+            if self._last_target is not None:
+                self._known_fc.add(self._last_target)
         self._known_fc.add(self._cfg.fc_hz)
         self._known_fc.add(target_hz)
+        self._last_target = target_hz
         self.ex.post("retune", self.i, target_hz)
 
     def set_freq(self, hz: float):

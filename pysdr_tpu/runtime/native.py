@@ -23,23 +23,42 @@ _load_failed = False      # remember a failed build/dlopen: the rtl_tcp
 _build_lock = threading.Lock()   # hot path must not re-spawn make per block
 
 
+_HASH_PATH = _LIB_PATH + ".srchash"
+
+
+def _src_hash() -> str:
+    """Content hash of the C++ source. Stored next to the .so at build
+    time; staleness is hash inequality, not mtime comparison (a fresh
+    git checkout gives arbitrary mtimes, which spuriously rebuilt the
+    committed binary — or worse, silently loaded a stale one)."""
+    import hashlib
+    h = hashlib.sha256()
+    with open(os.path.join(_DIR, "sdrio.cpp"), "rb") as f:
+        h.update(f.read())
+    return h.hexdigest()
+
+
 def _build() -> bool:
     try:
         subprocess.run(["make", "-C", _DIR, "-s"], check=True,
                        capture_output=True, timeout=120)
-        return os.path.exists(_LIB_PATH)
+        ok = os.path.exists(_LIB_PATH)
+        if ok:
+            with open(_HASH_PATH, "w") as f:
+                f.write(_src_hash())
+        return ok
     except Exception:
         return False
 
 
 def _stale() -> bool:
-    """True when the source is newer than the built library (an edited
-    sdrio.cpp must not keep loading the stale committed .so)."""
-    src = os.path.join(_DIR, "sdrio.cpp")
+    """True when the built library does not match the current source
+    content (missing hash sidecar counts as unknown => stale)."""
     try:
-        return os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
+        with open(_HASH_PATH) as f:
+            return f.read().strip() != _src_hash()
     except OSError:
-        return False
+        return True
 
 
 def _load():
@@ -50,9 +69,11 @@ def _load():
         if _load_failed:
             return None
         if (not os.path.exists(_LIB_PATH) or _stale()) and not _build():
-            if not os.path.exists(_LIB_PATH):
-                _load_failed = True
-                return None
+            # a stale library that failed to rebuild is UNAVAILABLE:
+            # loading a binary that no longer matches the source is
+            # worse than the numpy fallback
+            _load_failed = True
+            return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)
         except OSError:

@@ -526,3 +526,69 @@ def test_cli_parity_flags(tmp_path):
     args2 = app_mod.build_parser().parse_args(
         ["--fs", "0.512", "--block", "4096", "--delay", "2048"])
     assert args2.delay == 2048
+
+
+def test_app_channelize_video_bw_cli():
+    """ADVICE r4: --video-bw must reach the channelizer's per-channel
+    pre-demod filter (it silently selected the Max row before)."""
+    args = app_mod.build_parser().parse_args(
+        ["--channelize", "8", "--fs", "0.384", "--fc", "100.0",
+         "--video-bw", "6"])
+    bank, _, cfg = app_mod.build_channelizer(args)
+    assert all(cs.video_bw_hz == 6e3 for cs in cfg.channels)
+    # the selected filter row is the 6 kHz one, not Max
+    from pysdr_tpu import tables
+    want = tables.find_filter_index(6e3, bank.video_bws)
+    max_row = len(bank.video_bws) - 1
+    import numpy as np
+    rows = np.asarray(bank.params.video_row)
+    assert rows.tolist() == [want] * 8 and want != max_row
+
+
+def test_ft8_ft4_layout_expansion():
+    """--ft8/--ft4/--ft44 one-flag RX layout expansion (reference
+    params.py:254-267 and expand_ft4 utils.py:442-453)."""
+    # reference -ft8: a single RX grows into main + FT8 sub-RX (USB)
+    args = app_mod.build_parser().parse_args(
+        ["--fc", "7.1", "--mode", "LSB", "--fs", "1.0", "--ft8"])
+    cfg = app_mod.build_config(args)
+    assert [r.fc_hz for r in cfg.receivers] == [7.1e6, 7.074e6]
+    assert [r.mode for r in cfg.receivers] == [
+        Mode.LSB, Mode.USB]
+
+    # reference -ft4: each RX doubled onto its band's FT4 slot
+    args = app_mod.build_parser().parse_args(
+        ["--fc", "7.074", "--mode", "USB", "--fs", "1.0", "--ft4"])
+    cfg = app_mod.build_config(args)
+    assert [r.fc_hz for r in cfg.receivers] == [7.074e6, 7.0475e6]
+
+    # reference -ft44: one FT4 sub-RX appended after the main layout
+    args = app_mod.build_parser().parse_args(
+        ["--fc", "14.074", "--fs", "1.0", "--mode", "USB", "--ft44"])
+    cfg = app_mod.build_config(args)
+    assert [r.fc_hz for r in cfg.receivers] == [14.074e6, 14.080e6]
+
+    # band-list form with no --fc: the slots ARE the layout
+    args = app_mod.build_parser().parse_args(
+        ["--ft8", "40m", "--ft4", "40m", "--fs", "1.0"])
+    cfg = app_mod.build_config(args)
+    assert [r.fc_hz for r in cfg.receivers] == [7.074e6, 7.0475e6]
+    assert all(r.mode == Mode.USB for r in cfg.receivers)
+
+    # slots outside one passband fail validation (a 40m+20m spread
+    # cannot fit an 8 MHz device passband)
+    with pytest.raises((ValueError, AssertionError)):
+        args = app_mod.build_parser().parse_args(
+            ["--ft8", "40m", "20m", "--fs", "1.0"])
+        app_mod.build_config(args)
+
+    # unknown band is a clean config error
+    with pytest.raises(ValueError):
+        args = app_mod.build_parser().parse_args(
+            ["--ft8", "99m", "--fs", "1.0"])
+        app_mod.build_config(args)
+
+    # a full FT8 run demodulates through the expanded layout
+    a = run_app(["--fc", "7.1", "--fs", "0.512", "--ft8", "--block",
+                 "2048", "--blocks", "3"])
+    assert a.bank.n_rx == 2

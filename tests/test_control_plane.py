@@ -244,3 +244,41 @@ def test_hop_schedule_bad_file(tmp_path):
     f.write_text("25: FT8\n")
     with pytest.raises(ValueError):
         hopper.load_hop_schedule(str(f))
+
+
+def test_hamlib_prune_keeps_pending_target_with_rit():
+    """ADVICE r4: pruning _known_fc at >64 entries must keep the most
+    recent posted target. Scenario: set_freq posts retune T1 = dial +
+    rit1; before the executive drains, set_rit changes the clarifier and
+    its _post_retune trips the prune, wiping T1 from the consistency
+    set. When the executive then applies T1 (with T2 still queued
+    behind it), a concurrently-polling client (wsjtx at 1 Hz) calling
+    get_freq must NOT see T1 classified as an external retune — the
+    pre-fix resync reported dial = T1 - rit2 = dial + rit1 - rit2,
+    briefly wrong by the RIT delta."""
+    ex, bank = _mk_exec()
+    state = hamlib.RigState(ex, 0)
+    state.set_rit(500.0)
+    ex.run(n_blocks=1)
+    # grow the consistency set to exactly the prune threshold (64),
+    # fully drained each time so every entry is an applied fc
+    for k in range(62):
+        state.set_freq(14e6 + k * 1e3)
+        ex.run(n_blocks=k + 2)          # n_blocks is cumulative
+    assert len(state._known_fc) == 64
+    dial = 7.1e6
+    state.set_freq(dial)                # posts T1 = dial + 500 (pending)
+    assert len(state._known_fc) == 65
+    state.set_rit(200.0)                # prune fires here; posts T2
+    # apply ONLY T1 (the executive drains commands one at a time; a
+    # polling client can observe the state between T1 and T2)
+    method, args = ex._cmd_q.get_nowait()
+    getattr(bank, method)(*args)
+    assert bank._rx_cfgs[0].fc_hz == dial + 500.0
+    assert state.get_freq() == dial, \
+        "pending retune misread as external: dial resynced to fc - rit"
+    # T2 lands at the next boundary and the dial is still right
+    method, args = ex._cmd_q.get_nowait()
+    getattr(bank, method)(*args)
+    assert bank._rx_cfgs[0].fc_hz == dial + 200.0
+    assert state.get_freq() == dial

@@ -165,3 +165,63 @@ def test_probe_rtl_tcp(capsys):
         assert "tuner=R820T" in out and "rms=" in out
     finally:
         srv.stop()
+
+
+def test_rtltcp_auto_reconnect_survives_server_bounce():
+    """A dropped rtl_tcp session re-establishes itself with capped
+    retries and re-programs srate/freq/gain/ppm from the device-model
+    state (reference watchdog.py:96-123 network retry discipline).
+    The stream must survive a full server bounce mid-stream."""
+    import time
+
+    fs = 256e3
+    iq = _am_iq(fs, 1 << 16, offset_hz=60e3)
+    srv = rtltcp.FakeRtlTcpServer(iq)
+    src = None
+    srv2 = None
+    try:
+        src = rtltcp.RtlTcpSource(
+            "127.0.0.1", srv.port, fs=fs, fc=100e6, gain_db=28.0,
+            ppm=-2, timeout=1.0, reconnect=20, reconnect_wait=0.05,
+            ring_samples=1 << 16)
+        x1 = src.read_data(1 << 14, timeout=5.0)
+        assert len(x1) == 1 << 14
+
+        port = srv.port
+        srv.stop()                      # bounce: kill the server...
+        # a device command issued during the outage must not block the
+        # caller (it is sent by the writer thread / recovered by the
+        # reconnect re-program)
+        t0 = time.monotonic()
+        src.set_gain(7.0)
+        assert time.monotonic() - t0 < 0.1
+        time.sleep(0.2)
+        srv2 = rtltcp.FakeRtlTcpServer(iq, port=port)   # ...and revive
+
+        # the pump notices EOF and re-establishes on its own
+        deadline = time.monotonic() + 10.0
+        while src.reconnects == 0 and time.monotonic() < deadline:
+            time.sleep(0.05)
+        assert src.reconnects >= 1
+        # the stream resumes: drain past any pre-bounce ring backlog,
+        # then a fresh full block arrives from the new session
+        src.read_data(src._rsize // 2, timeout=20.0)
+        x2 = src.read_data(1 << 14, timeout=20.0)
+        assert len(x2) == 1 << 14
+        src.close()
+        time.sleep(0.2)
+        # the new session was re-programmed in setupSDR order from the
+        # shadows: srate, freq, manual gain (latest = 7.0 dB), ppm
+        cmds = dict()
+        for c, v in srv2.commands:
+            cmds.setdefault(c, []).append(v)
+        assert cmds[rtltcp.CMD_SET_SAMPLE_RATE] == [int(fs)]
+        assert int(100e6) in cmds[rtltcp.CMD_SET_FREQ]
+        assert 70 in cmds[rtltcp.CMD_SET_GAIN]
+        assert cmds[rtltcp.CMD_SET_FREQ_CORR][0] == (-2) & 0xFFFFFFFF
+        src = None
+    finally:
+        if src is not None:
+            src.close()
+        if srv2 is not None:
+            srv2.stop()
