@@ -18,6 +18,10 @@ Surface:
     (reference gui.py:1769-1896);
   * a pane per RX: frequency, mode, video BW, AF BW menus, AF gain and
     squelch sliders, mute — plus the selected RX's AF waterfall;
+  * a tuning-step menu driving dial buttons, the mouse wheel, and
+    click-to-tune rounding (reference demod-panel step selector,
+    gui.py:474-516), and top-row RF/WF/AF/BB pane show/hide toggles
+    (reference gui.py:121-221);
   * a live RTTY panel (decoded text + per-channel state) when the
     decoder runs (reference rtty.py:92-371 RTTY_GUI);
   * waterfall rows cross the wire as base64 uint8, not JSON int lists.
@@ -37,7 +41,84 @@ import numpy as np
 
 from pysdr_tpu import tables
 
-PAGE = """<!DOCTYPE html>
+# ---------------------------------------------------------------------------
+# Declarative UI wiring spec. The page's dynamic behavior (which element
+# drives which endpoint, with what value semantics) is DATA, not
+# hand-written JS: the <script> below wires controls from this spec at
+# runtime, and tests/test_webdom.py executes the SAME spec against a
+# live server with a Python mini-DOM — so a renamed endpoint, query
+# param, or element id breaks a test, not just the page (VERDICT r4 #4).
+#
+# kinds: "value" sends el.value; "checked" sends 1/0.
+# "reload": re-poll that pane's JSON after the POST settles.
+UI_SPEC = {
+    "static": [
+        {"id": "dr", "url": "display?dr={v}", "kind": "value"},
+        {"id": "pk", "url": "display?peaks={v}", "kind": "checked"},
+        {"id": "devgain", "url": "device?gain={v}", "kind": "value",
+         "reload": "dev"},
+        {"id": "devppm", "url": "device?ppm={v}", "kind": "value",
+         "reload": "dev"},
+        {"id": "devant", "url": "device?ant={v}", "kind": "value",
+         "reload": "dev"},
+        {"id": "rigband", "url": "rig?op=band&v={v}", "kind": "value",
+         "reload": "rig"},
+        {"id": "rigmode", "url": "rig?op=mode&v={v}", "kind": "value",
+         "reload": "rig"},
+        {"id": "rigrit", "url": "rig?op=rit&v={v}", "kind": "value",
+         "reload": "rig"},
+        {"id": "rigpwr", "url": "rig?op=tx_pwr&v={v}", "kind": "value",
+         "reload": "rig"},
+        {"id": "rigmic", "url": "rig?op=mic_gain&v={v}", "kind": "value",
+         "reload": "rig"},
+        {"id": "rigmon", "url": "rig?op=monitor&v={v}", "kind": "value",
+         "reload": "rig"},
+        {"id": "rigant", "url": "rig?op=ant&v={v}", "kind": "value",
+         "reload": "rig"},
+        {"id": "rigff", "url": "rig?op=follow_freq&v={v}",
+         "kind": "checked", "reload": "rig"},
+        {"id": "rigfb", "url": "rig?op=follow_band&v={v}",
+         "kind": "checked", "reload": "rig"},
+        {"id": "rigcl", "url": "rig?op=clar&v={v}", "kind": "checked",
+         "reload": "rig"},
+    ],
+    # per-RX row controls: element id is prefix+rx_index
+    "row": [
+        {"prefix": "f", "url": "tune?rx={i}&f={v}", "kind": "value"},
+        {"prefix": "m", "url": "mode?rx={i}&m={v}", "kind": "value"},
+        {"prefix": "vb", "url": "videobw?rx={i}&v={v}", "kind": "value"},
+        {"prefix": "ab", "url": "afbw?rx={i}&v={v}", "kind": "value"},
+        {"prefix": "g", "url": "gain?rx={i}&v={v}", "kind": "value"},
+        {"prefix": "sq", "url": "squelch?rx={i}&v={v}", "kind": "value"},
+        {"prefix": "mu", "url": "mute?rx={i}&v={v}", "kind": "checked"},
+    ],
+    # top-row pane show/hide toggles (reference gui.py:121-221)
+    "panes": [
+        {"id": "shrf", "targets": ["psd"]},
+        {"id": "shwf", "targets": ["wf"]},
+        {"id": "shaf", "targets": ["af", "tm"]},
+        {"id": "shbb", "targets": ["bbl", "bb"]},
+    ],
+    # tuning-step menu (reference demod panel step selector,
+    # gui.py:474-516): drives the dial buttons, the mouse wheel, and
+    # click-to-tune rounding
+    "steps_hz": [1, 10, 100, 500, 1000, 5000, 10000, 100000, 1000000],
+}
+
+# Per-RX table row template (instantiated by buildRows with the JS
+# template-literal variables i/r/d in scope). Kept as data so tests can
+# extract the generated per-RX element ids.
+ROW_TEMPLATE = """<td>${i}</td>
+   <td><input id="f${i}" size=10 value="${r.fc}"></td>
+   <td><select id="m${i}">${opt(d.modes,r.mode,v=>v)}</select></td>
+   <td><select id="vb${i}">${opt(d.video_bws,r.video_bw,v=>v?v/1e3+'k':'Max')}</select></td>
+   <td><select id="ab${i}">${opt(d.af_bws,r.af_bw,v=>v?v/1e3+'k':'Max')}</select></td>
+   <td><input id="g${i}" type="range" min="0" max="3" step="0.1" value="${r.gain}"></td>
+   <td><input id="sq${i}" size=4 value="${r.squelch}"></td>
+   <td><input id="mu${i}" type="checkbox" ${r.muted?'checked':''}></td>
+   <td id="lv${i}"></td>"""
+
+PAGE_TEMPLATE = """<!DOCTYPE html>
 <html><head><title>pysdr_tpu</title><style>
  body{background:#111;color:#ddd;font:13px monospace;margin:14px}
  canvas{display:block;margin:4px 0;image-rendering:pixelated}
@@ -50,6 +131,8 @@ PAGE = """<!DOCTYPE html>
  .lbl{color:#999}
 </style></head><body>
 <div><span id="freq">--</span> Hz
+ <span class="lbl">step</span><select id="step"></select>
+ <button id="stup">&#9650;</button><button id="stdn">&#9660;</button>
  <select id="preset"><option value="">presets...</option></select>
  <span class="lbl">DR</span>
  <input id="dr" type="range" min="20" max="100" step="5" value="60"
@@ -57,6 +140,10 @@ PAGE = """<!DOCTYPE html>
  <label class="lbl"><input id="pk" type="checkbox" checked>peaks</label>
  <select id="cmap"><option>viridis</option><option>jet</option>
   <option>gray</option></select>
+ <label class="lbl"><input id="shrf" type="checkbox" checked>RF</label>
+ <label class="lbl"><input id="shwf" type="checkbox" checked>WF</label>
+ <label class="lbl"><input id="shaf" type="checkbox" checked>AF</label>
+ <label class="lbl"><input id="shbb" type="checkbox" checked>BB</label>
  <span id="peaks" class="lbl"></span></div>
 <canvas id="psd" width="1024" height="120"></canvas>
 <canvas id="wf" width="1024" height="240"></canvas>
@@ -110,11 +197,39 @@ PAGE = """<!DOCTYPE html>
 <canvas id="rwf" width="1024" height="100" style="display:none"></canvas>
 <div id="rtty"></div>
 <script>
+const SPEC=__UI_SPEC__;
 const wf=document.getElementById('wf'),psd=document.getElementById('psd');
 const af=document.getElementById('af');
 const wctx=wf.getContext('2d'),pctx=psd.getContext('2d');
 const actx=af.getContext('2d');
-let f0=0,f1=1,sel=0,nrx=1,built=false,meta=null;
+let f0=0,f1=1,sel=0,nrx=1,built=false,meta=null,curFc=0;
+function ctlVal(el,kind){return kind=='checked'?(el.checked?1:0):el.value;}
+function wireOne(el,c,i){
+ el.onchange=()=>{let u=c.url.replace('{v}',
+   encodeURIComponent(ctlVal(el,c.kind)));
+  if(i!==undefined)u=u.replace('{i}',i);
+  fetch(u).then(()=>{if(c.reload=='rig')setTimeout(loadRig,100);
+                     if(c.reload=='dev')setTimeout(loadDev,100);});};}
+for(const c of SPEC.static)wireOne(document.getElementById(c.id),c);
+// tuning-step selector (reference gui.py:474-516): dial buttons,
+// mouse wheel, and click rounding all move by the selected step
+{const st=document.getElementById('step');
+ for(const s of SPEC.steps_hz){const o=document.createElement('option');
+  o.value=s;o.text=s>=1e6?s/1e6+'M':(s>=1e3?s/1e3+'k':s+'');st.add(o);}
+ st.value=1000;}
+function stepHz(){return +document.getElementById('step').value;}
+function nudge(dir){if(curFc)
+ fetch('tune?rx='+sel+'&f='+(curFc+dir*stepHz()).toFixed(0));}
+document.getElementById('stup').onclick=()=>nudge(1);
+document.getElementById('stdn').onclick=()=>nudge(-1);
+function paneOn(id){const e=document.getElementById(id);
+ return !e||e.checked;}
+function applyPanes(){for(const p of SPEC.panes)
+ for(const t of p.targets){const el=document.getElementById(t);
+  if(el&&el.dataset.has!=='0')
+   el.style.display=paneOn(p.id)?'block':'none';}}
+for(const p of SPEC.panes)
+ document.getElementById(p.id).onchange=applyPanes;
 const LUTS={
  viridis:v=>{const t=v/255;return [255*(0.267+t*0.726),
   255*(0.005+t*0.901),255*(0.329+(t<0.5?t*0.44:0.551-(t-0.5)*0.81))];},
@@ -129,8 +244,6 @@ fetch('presets.json').then(r=>r.json()).then(ps=>{
   o.value=p.freq_hz+','+p.mode;o.text=p.name+' ('+p.group+')';sel.add(o);}
  sel.onchange=()=>{const [f,m]=sel.value.split(',');
   if(f){fetch('tune?rx=0&f='+f);fetch('mode?rx=0&m='+m);}};});
-document.getElementById('dr').onchange=e=>fetch('display?dr='+e.target.value);
-document.getElementById('pk').onchange=e=>fetch('display?peaks='+(e.target.checked?1:0));
 function b64u8(s){const b=atob(s);const a=new Uint8Array(b.length);
  for(let i=0;i<b.length;i++)a[i]=b.charCodeAt(i);return a;}
 function drawWF(ctx,cv,b64,rows,cols){
@@ -150,7 +263,6 @@ function drawPSD(ctx,cv,p,spots,g0,g1){
   const x=(s.f-g0)/(g1-g0)*cv.width;if(x<0||x>cv.width)continue;
   ctx.fillStyle={'r':'#f66','b':'#66f','g':'#6f6','y':'#ff6'}[s.color]||'#ff6';
   ctx.fillRect(x,0,1,cv.height);ctx.fillText(s.label,x+2,10);}}
-function ctl(rx,what,v){fetch(what+'?rx='+rx+'&v='+encodeURIComponent(v));}
 function buildRows(d){
  const tb=document.querySelector('#rxt tbody');tb.innerHTML='';
  d.rx.forEach((r,i)=>{
@@ -158,29 +270,16 @@ function buildRows(d){
   tr.onclick=(e)=>{if(e.target.tagName==='TD'){sel=i;}};
   const opt=(list,cur,fmt)=>list.map(v=>
    `<option value="${v}" ${v==cur?'selected':''}>${fmt(v)}</option>`).join('');
-  tr.innerHTML=`<td>${i}</td>
-   <td><input id="f${i}" size=10 value="${r.fc}"></td>
-   <td><select id="m${i}">${opt(d.modes,r.mode,v=>v)}</select></td>
-   <td><select id="vb${i}">${opt(d.video_bws,r.video_bw,v=>v?v/1e3+'k':'Max')}</select></td>
-   <td><select id="ab${i}">${opt(d.af_bws,r.af_bw,v=>v?v/1e3+'k':'Max')}</select></td>
-   <td><input id="g${i}" type="range" min="0" max="3" step="0.1" value="${r.gain}"></td>
-   <td><input id="sq${i}" size=4 value="${r.squelch}"></td>
-   <td><input id="mu${i}" type="checkbox" ${r.muted?'checked':''}></td>
-   <td id="lv${i}"></td>`;
+  tr.innerHTML=`__ROW_TEMPLATE__`;
   tb.appendChild(tr);
-  document.getElementById('f'+i).onchange=e=>fetch('tune?rx='+i+'&f='+e.target.value);
-  document.getElementById('m'+i).onchange=e=>fetch('mode?rx='+i+'&m='+e.target.value);
-  document.getElementById('vb'+i).onchange=e=>ctl(i,'videobw',e.target.value);
-  document.getElementById('ab'+i).onchange=e=>ctl(i,'afbw',e.target.value);
-  document.getElementById('g'+i).onchange=e=>ctl(i,'gain',e.target.value);
-  document.getElementById('sq'+i).onchange=e=>ctl(i,'squelch',e.target.value);
-  document.getElementById('mu'+i).onchange=e=>ctl(i,'mute',e.target.checked?1:0);});
+  for(const c of SPEC.row)
+   wireOne(document.getElementById(c.prefix+i),c,i);});
  built=true;}
 async function tick(){
  try{
   const r=await fetch('frame.json?rx='+sel);const d=await r.json();
   if(!d.ok){setTimeout(tick,400);return}
-  f0=d.rf.f0;f1=d.rf.f1;nrx=d.n_rx;
+  f0=d.rf.f0;f1=d.rf.f1;nrx=d.n_rx;curFc=d.rx[sel].fc;
   document.getElementById('freq').textContent=d.rx[sel].fc.toFixed(0);
   document.getElementById('peaks').textContent=
     'peaks: '+d.rf.peaks.map(p=>p.toFixed(0)).join(' ');
@@ -205,10 +304,13 @@ async function tick(){
     d.af.time.forEach((v,i)=>{const x=i/d.af.time.length*tm.width,
      y=tm.height-1-v/mx*(tm.height-2);i?tctx.lineTo(x,y):tctx.moveTo(x,y);});
     tctx.stroke();}}
-  if(d.bb){const bbcv=document.getElementById('bb');
-   document.getElementById('bbl').style.display='block';
-   bbcv.style.display='block';
-   drawWF(bbcv.getContext('2d'),bbcv,d.bb.wf_b64,d.bb.rows,d.bb.cols);}
+  {const bbcv=document.getElementById('bb'),
+    bbl=document.getElementById('bbl');
+   bbl.dataset.has=bbcv.dataset.has=d.bb?'1':'0';
+   const on=d.bb&&paneOn('shbb');
+   bbl.style.display=bbcv.style.display=on?'block':'none';
+   if(on)drawWF(bbcv.getContext('2d'),bbcv,d.bb.wf_b64,d.bb.rows,d.bb.cols);}
+  applyPanes();
   if(d.rtty){const el=document.getElementById('rtty');el.style.display='block';
    const rr=await fetch('rtty.json');const t=await rr.json();
    if(t.wf_b64){const rw=document.getElementById('rwf');
@@ -248,30 +350,24 @@ async function loadDev(){try{
  document.getElementById('devinfo').textContent=
   (d.fs/1e6).toFixed(3)+' Msps @ '+(d.fc/1e6).toFixed(3)+' MHz';
 }catch(e){}}
-document.getElementById('rigband').onchange=e=>rigSet('band',e.target.value);
-document.getElementById('rigmode').onchange=e=>rigSet('mode',e.target.value);
-document.getElementById('rigrit').onchange=e=>rigSet('rit',e.target.value);
-document.getElementById('rigpwr').onchange=e=>rigSet('tx_pwr',e.target.value);
-document.getElementById('rigmic').onchange=e=>rigSet('mic_gain',e.target.value);
-document.getElementById('rigmon').onchange=e=>rigSet('monitor',e.target.value);
-document.getElementById('rigant').onchange=e=>rigSet('ant',e.target.value);
-document.getElementById('devgain').onchange=e=>
- fetch('device?gain='+e.target.value).then(()=>setTimeout(loadDev,100));
-document.getElementById('devppm').onchange=e=>
- fetch('device?ppm='+e.target.value).then(()=>setTimeout(loadDev,100));
-document.getElementById('devant').onchange=e=>
- fetch('device?ant='+e.target.value).then(()=>setTimeout(loadDev,100));
 loadRig();loadDev();setInterval(loadRig,2000);setInterval(loadDev,2000);
 function fAt(ev,el){const r=el.getBoundingClientRect();
- return f0+(ev.clientX-r.left)/r.width*(f1-f0);}
+ const f=f0+(ev.clientX-r.left)/r.width*(f1-f0);
+ return Math.round(f/stepHz())*stepHz();}  // clicks snap to the step
 for(const el of [wf,psd]){
  el.onclick=e=>fetch('tune?rx='+sel+'&f='+fAt(e,el).toFixed(0));
  el.oncontextmenu=e=>{e.preventDefault();
   if(nrx>1)fetch('tune?rx=1&f='+fAt(e,el).toFixed(0));};
- el.onauxclick=e=>{if(e.button==1){e.preventDefault();fetch('vfo_swap');}};}
+ el.onauxclick=e=>{if(e.button==1){e.preventDefault();fetch('vfo_swap');}};
+ el.onwheel=e=>{e.preventDefault();nudge(-Math.sign(e.deltaY));};}
 tick();
 </script></body></html>
 """
+
+# the served page: spec + row template injected as data
+PAGE = (PAGE_TEMPLATE
+        .replace("__UI_SPEC__", json.dumps(UI_SPEC))
+        .replace("__ROW_TEMPLATE__", ROW_TEMPLATE))
 
 
 class _Handler(BaseHTTPRequestHandler):
