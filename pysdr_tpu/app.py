@@ -738,6 +738,7 @@ class App:
                 rtty_state=self._rtty_state if self.rtty else None,
                 presets_file=args.presets_file,
                 save_iq_dtype=args.save_iq_dtype,
+                save_dir=args.save_dir,
                 rig=self.rig, source=self.source,
                 follower=self.follower)
             print(f"live viewer: http://127.0.0.1:{self.web.port}/",

@@ -462,7 +462,8 @@ class _Handler(BaseHTTPRequestHandler):
                 ant=q["ant"][0] if "ant" in q else None)
             return self._send(b"ok", "text/plain")
         if url.path == "/record":
-            view.record(bool(qi("iq")), q.get("dir", ["."])[0])
+            view.record(bool(qi("iq")),
+                        q.get("dir", [view.save_dir])[0])
             return self._send(b"ok", "text/plain")
         self.send_error(404)
 
@@ -487,12 +488,14 @@ class WebViewer:
                  host: str = "127.0.0.1", rtty_state=None,
                  presets_file: str | None = None,
                  save_iq_dtype: str = "complex64",
+                 save_dir: str = ".",
                  rig=None, source=None, follower=None):
         self.display = display
         self.ex = executive
         self.rtty_state = rtty_state   # callable -> dict | None
         self.presets_file = presets_file
         self.save_iq_dtype = save_iq_dtype   # honors CLI --save-iq-dtype
+        self.save_dir = save_dir             # honors CLI --save-dir
         self.rig = rig                 # runtime.rig.RigConnection | None
         self.source = source           # device model (io.synth surface)
         self.follower = follower       # runtime.rig.RigFollower | None
@@ -716,7 +719,7 @@ class WebViewer:
                 rf_cfg.use_peaks = peaks
         self.ex.post(apply)
 
-    def record(self, on: bool, save_dir: str = "."):
+    def record(self, on: bool, save_dir: str | None = None):
         """Start/stop raw IQ recording mid-run (the GUI's save-raw
         toggle, reference gui.py:1184-1219) — applied at a block
         boundary so no block is half-written."""
@@ -724,6 +727,8 @@ class WebViewer:
 
         from pysdr_tpu.io import datfile
 
+        if save_dir is None:
+            save_dir = self.save_dir
         cfgs, is_rx = self._rx_cfgs()
         fc = cfgs[0].fc_hz if is_rx else self.ex.bank.cfg.fc_hz
 

@@ -234,10 +234,12 @@ def _best_fit_snr_db(ref: np.ndarray, test: np.ndarray,
 
 @pytest.mark.parametrize("mode,agc,bound_db", [
     (Mode.AM, False, 30.0),    # BASELINE config 1
-    (Mode.AM_SYNC, False, 20.0),  # carrier-recovery vs true serial PLL
+    # carrier-recovery vs true serial PLL: measured ~45 dB across seeds
+    # (r5 sweep; the old 20 dB floor predated the r4 WFM/phase fixes)
+    (Mode.AM_SYNC, False, 35.0),
     (Mode.NFM, False, 25.0),   # BASELINE config 2
     (Mode.USB, False, 25.0),   # config 3 filter-chain waveform parity
-    (Mode.USB, True, 20.0),    # BASELINE config 3 (narrow FIR + AGC)
+    (Mode.USB, True, 30.0),    # BASELINE config 3 (measured ~37.6 dB)
     (Mode.CW, False, 25.0),    # BFO beat + narrow filter
     (Mode.WFM, False, 25.0),   # 192 kHz discriminator + de-emphasis
 ])
@@ -311,8 +313,11 @@ def test_golden_wfm2_stereo(rng):
 
     snr_mono = _best_fit_snr_db(gold_mono, bank_mono)
     snr_lr = _best_fit_snr_db(gold_lr, bank_lr)
-    assert snr_mono >= 20.0, snr_mono
-    assert snr_lr >= 15.0, snr_lr
+    # r5 measured margins: mono ~59 dB, L-R ~37 dB (the old 20/15 dB
+    # floors predated the r4 subcarrier-phase fix and were never
+    # retightened)
+    assert snr_mono >= 40.0, snr_mono
+    assert snr_lr >= 28.0, snr_lr
     # and the bank's separation is real: each tone owns its channel
     half = len(a) // 2
 
