@@ -170,6 +170,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "halo exchange, parallel/adapter.py). '1,8' = "
                          "pure channel sharding, '4,1' = pure stream "
                          "parallelism, '2,4' = both")
+    ap.add_argument("--no-prefetch", action="store_true",
+                    help="disable the source read-ahead thread (host "
+                         "read + wire quantize + device-put issue run "
+                         "inline in the hot loop instead of overlapping "
+                         "the in-flight transfers)")
     ap.add_argument("--pipeline-depth", type=int, default=2,
                     help="device blocks in flight before draining the "
                          "oldest (deeper hides per-block transport "
@@ -629,7 +634,13 @@ class App:
             self.bank, self.source, realtime=args.realtime,
             raw_writer=self.raw_writer, demod_writer=self.demod_writer,
             psd_callback=self._on_block, loop_source=not args.no_loop,
-            wire=args.wire, pipeline_depth=args.pipeline_depth)
+            wire=args.wire, pipeline_depth=args.pipeline_depth,
+            prefetch=not args.no_prefetch,
+            # only pre-pull the carried baseband when someone will read
+            # it — the async bb copy is real reverse-path traffic on the
+            # serialized tunnel (see Executive.want_bb)
+            want_bb=(self.rtty is not None or self.bb_writer is not None
+                     or bool(args.bb)))
 
         # device-follow retune: a main-RX tune outside the passband
         # moves the physical front-end when the source can (rtl_tcp,

@@ -35,7 +35,8 @@ class Executive:
     def __init__(self, bank, source, audio_rings=None, realtime=False,
                  raw_writer=None, demod_writer=None,
                  psd_callback: Callable | None = None, loop_source=True,
-                 wire: str = "f32", pipeline_depth: int = 2):
+                 wire: str = "f32", pipeline_depth: int = 2,
+                 want_bb: bool = True, prefetch: bool = True):
         """bank: models.receiver.ReceiverBank; source: DatReader/SynthSource
         (anything with read_data(n)); audio_rings: list of RingBuffer per
         channel (created if None); raw/demod_writer: io.datfile.DatWriter
@@ -59,6 +60,26 @@ class Executive:
         assert wire in ("f32", "i16", "i8"), wire
         self.wire = wire
         self.pipeline_depth = max(1, int(pipeline_depth))
+        # whether ANY consumer (RTTY, BB display, --save-baseband) will
+        # pull the carried baseband. When False the early
+        # copy_to_host_async on the bb is skipped: on the serialized
+        # axon tunnel that async copy is real down-traffic
+        # (n_rx * out_block * 2 * 4 B/block) competing with the audio
+        # pull for the ~15-30 MB/s reverse path even though nobody
+        # reads it (bank4 e2e ceiling forensics, VERDICT r4 #2).
+        self.want_bb = want_bb
+        # source prefetch thread: the host half of the read stage
+        # (file/synth read, wire quantization, device_put issue) is pure
+        # host+transport work that otherwise runs SERIALLY inside the
+        # hot loop — on the tunnel the bank4 e2e config spent
+        # ~64 ms/block of wall just reading+packing the next block
+        # (bank4 ceiling forensics). A depth-2 bounded read-ahead hides
+        # it behind the in-flight transfers. Recording taps and
+        # last_rf_block stay on the executive thread at dispatch time,
+        # so block-boundary record semantics are unchanged.
+        self.prefetch = prefetch
+        self._pf_q: queue.Queue | None = None
+        self._pf_thread: threading.Thread | None = None
         d = bank.design
         ring_size = 32 * 1024 * max(1, int(d.fs_out / 48e3))  # params.py:456
         self.audio_rings = audio_rings or [
@@ -128,42 +149,78 @@ class Executive:
         deadline = time.monotonic() + duration_s if duration_s else None
         block_budget = d.in_block / d.fs_in
 
-        def read_host():
-            """Host half of the source stage: packed float32 (n, 2)."""
+        def read_host_raw():
+            """Host half of the source stage: (packed float32 (n, 2),
+            complex64 view) or None at stream end. NO side effects —
+            safe on the prefetch thread."""
             # fast path: sources that yield float32 (n, 2) packed pairs
             # directly (the C++ NativeStreamer) skip all host complex math
             if hasattr(self.source, "read_packed"):
                 xp = self.source.read_packed(d.in_block)
                 if len(xp) < d.in_block:
                     return None
-                x = xp.view(np.complex64).reshape(-1)
-                if self.raw_writer is not None:
-                    self.raw_writer.save_data(x)
-                self.last_rf_block = x
-                return xp
+                return xp, xp.view(np.complex64).reshape(-1)
             x = self.source.read_data(d.in_block, loop=self.loop_source) \
                 if self.loop_source else self.source.read_data(d.in_block)
             x = np.asarray(x).reshape(-1)[:d.in_block]
             if len(x) < d.in_block:
                 return None
+            x = x.astype(np.complex64)
+            return cplx.pack(x), x
+
+        def prepare(pair):
+            """Wire quantization + host->device issue for a read pair."""
+            if pair is None:
+                return None
+            t1 = time.perf_counter()
+            xb = jnp.asarray(cplx.quantize_host(pair[0], self.wire))
+            self.stage_ms["upload"] += (time.perf_counter() - t1) * 1e3
+            return xb, pair[1]
+
+        def pf_loop():
+            while not self._stop.is_set():
+                t0 = time.perf_counter()
+                pair = read_host_raw()
+                self.stage_ms["read"] += (time.perf_counter() - t0) * 1e3
+                item = prepare(pair)
+                while not self._stop.is_set():
+                    try:
+                        self._pf_q.put(item, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                if item is None:
+                    return                         # stream end
+
+        def read_block():
+            """Next (device_block, host complex64) — from the prefetch
+            thread when enabled, inline otherwise. Recording taps and
+            the RF display tap run HERE (executive thread, dispatch
+            order) either way."""
+            if self.prefetch:
+                if self._pf_q is None:
+                    self._pf_q = queue.Queue(maxsize=2)
+                if (self._pf_thread is None
+                        or not self._pf_thread.is_alive()) \
+                        and self._pf_q.empty():
+                    # first run, or a consumed EOF: (re)start the reader
+                    self._pf_thread = threading.Thread(
+                        target=pf_loop, daemon=True)
+                    self._pf_thread.start()
+                item = self._pf_q.get()
+            else:
+                t0 = time.perf_counter()
+                pair = read_host_raw()
+                self.stage_ms["read"] += (time.perf_counter() - t0) * 1e3
+                item = prepare(pair)
+            if item is None:
+                return None
+            xb, x = item
             if self.raw_writer is not None:
                 self.raw_writer.save_data(x)
             # RF tap for PSD/display consumers (reference rb_rf push,
             # receiver.py:747-756)
-            self.last_rf_block = x.astype(np.complex64)
-            return cplx.pack(self.last_rf_block)
-
-        def read_block():
-            t0 = time.perf_counter()
-            xp = read_host()
-            t1 = time.perf_counter()
-            self.stage_ms["read"] += (t1 - t0) * 1e3
-            if xp is None:
-                return None
-            # wire quantization + host->device issue (async under JAX;
-            # completion overlaps the previous block's compute)
-            xb = jnp.asarray(cplx.quantize_host(xp, self.wire))
-            self.stage_ms["upload"] += (time.perf_counter() - t1) * 1e3
+            self.last_rf_block = x
             return xb
 
         # realtime pacing: an ABSOLUTE schedule (next_deadline advances by
@@ -243,7 +300,7 @@ class Executive:
                     (time.perf_counter() - t0) * 1e3
                 nxt = read_block()                     # overlap host read
                 bb_p = getattr(self.bank, "_last_bb", None)
-                if bb_p is not None:
+                if bb_p is not None and self.want_bb:
                     try:      # same early-copy rationale as the audio
                         bb_p.copy_to_host_async()
                     except AttributeError:
