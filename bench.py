@@ -61,10 +61,24 @@ def _measure(step, blocks, iters=20, reps=5):
     tunnel's run-to-run mood swings ~2x; a single window is not an
     honest number (VERDICT r4 #3 — the on-device configs now get the
     same median-of-N discipline the e2e suite got in r3). Returns
-    executes-per-second for each window."""
+    executes-per-second for each window.
+
+    HONESTY FIX (round 5): before any device->host pull, this tunnel
+    ELIDES execution — block_until_ready acks without running the
+    program (measured: 4M-sample steps in 0.1 ms that cost 99 ms once
+    any output had ever been pulled; 32 chained 1024^3 matmuls "ran"
+    in the same 25 ms as a scalar add — probes/results_r05/). The
+    r2-r4 device-only Gsamp/s numbers were phantom. One output pull
+    up front forces every later execute to really run, so these
+    windows now time actual device execution (plus the tunnel's
+    ~25-30 ms fixed per-execute RPC floor, which bounds what a
+    single-chip wall-clock measurement can resolve here; the
+    profiler-trace probe carries the device-only breakdown)."""
     import jax
+    import numpy as np
     out = step(blocks[0])
     jax.block_until_ready(out)
+    np.asarray(np.asarray(jax.tree.leaves(out)[0]).ravel()[:8])
     rates = []
     for r in range(reps):
         t0 = time.perf_counter()
@@ -113,20 +127,15 @@ def bench_bank4():
     d = bank.design
     blocks = _rand_blocks(d.in_block)
     res = _sps_stats(_measure(bank.step_device, blocks), d.in_block)
-    sps = res["samples_per_s"]
     res.update({"in_block": d.in_block, "n_rx": 4})
-    # HBM roofline bounds. Lower bound: the RF block is read once
-    # (8 B/sample packed pair). Upper bound: each channel's framed
-    # resampler materializes ~L/down x the input (in practice XLA
-    # fuses the frame construction into the matmul, so the truth is
-    # near the lower bound — measured rates exceed nominal HBM BW
-    # under the naive model, proving the frames are never
-    # materialized).
-    kp = -(-d.video_taps // d.up)
-    L = d.down + kp - 1
-    res["hbm_gbps_lower"] = sps * 8 / 1e9
-    res["hbm_gbps_upper_naive"] = sps * 8 * (1 + 4 * L / d.down) / 1e9
-    res["hbm_util_lower"] = res["hbm_gbps_lower"] / HBM_GBPS_NOMINAL
+    # NOTE: this wall-clock rate includes the tunnel's ~25-30 ms fixed
+    # per-execute RPC floor (probes/results_r05/), which dominates now
+    # that the step's real device time is a few ms. Trace-derived
+    # device-only time and achieved HBM GB/s live in
+    # probes/profile_device_step.py output (PERF.md quotes it); the old
+    # r2-r4 "hbm_util_lower" roofline here was built on elided
+    # (phantom) executes and is gone.
+    res["includes_rpc_floor_ms"] = "~25-30"
     return res
 
 

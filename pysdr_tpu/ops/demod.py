@@ -93,8 +93,16 @@ class DemodDesign:
     squelch_alpha: float = 0.001    # envelope one-pole (squelch.m:134)
     squelch_hyst: float = 0.5       # close threshold = hyst * open (6 dB)
     mute_hold_s: float = 0.25       # reference MUTE_TIME (params.py:447)
-    fft_af: bool = False            # overlap-save FFT path for the four
-                                    # audio-rate filters (ops/fftfilt.py)
+    # Overlap-save FFT path for the four audio-rate filters
+    # (ops/fftfilt.py). DEFAULT since round 5: with per-channel TRACED
+    # taps the direct conv forces XLA into a pathological batched-conv
+    # lowering on the v5e — each traced-taps FIR cost ~45 ms/step in the
+    # 4-RX bank (the whole step was 120 ms; the FFT path is 32 ms, at
+    # the tunnel's ~27 ms per-execute floor — probes/results_r05/).
+    # In the frequency domain per-channel taps are just an elementwise
+    # multiply, which vmaps cleanly. fft_af=False keeps the direct conv
+    # (equivalence pinned by test_fftfilt.py).
+    fft_af: bool = True
 
     def carrier_filter(self) -> np.ndarray:
         """Narrow one-sided LP around DC for carrier recovery."""

@@ -100,12 +100,58 @@ def lo_angles(k, p0, n: int):
     return idx.astype(jnp.float32) * jnp.float32(_TWO_PI / DENOM)
 
 
+def _pick_factor(n: int) -> int:
+    """Largest power-of-two B <= 2048 dividing n (1 if n is odd)."""
+    B = 1
+    while B < 2048 and n % (B * 2) == 0:
+        B *= 2
+    return B
+
+
+def _mul_pow2_mod(k, B: int):
+    """(k * B) mod DENOM for power-of-two static B, int32-safe for
+    traced k < DENOM (repeated doubling keeps products < 2^23)."""
+    k = jnp.asarray(k, jnp.int32)
+    while B > 1:
+        k = (k * 2) % DENOM
+        B //= 2
+    return k
+
+
+def _lo_factored(k, p0, n: int, sign: float):
+    """exp(sign * j * 2π (p0 + k i)/DENOM) for i in [0, n) as an
+    (n//B, B) outer product of two unit-phasor tables.
+
+    Splitting i = a*B + b gives θ_i = θ_hi[a] + θ_lo[b] with both parts
+    on the exact integer phase grid, so the LO block is
+    hi[a] * lo[b] — O(n/B + B) ≈ O(2√n) transcendentals instead of one
+    cos+sin PER SAMPLE. On the real chip the per-sample form was ~90%
+    of the whole bank4 device step (33.7M transcendentals at <1 Gop/s,
+    two ~45 ms fusions — probes/results_r05/device_profile.json); the
+    factored form is a pure elementwise multiply that XLA fuses into
+    the mix. Phase accuracy: one extra complex rounding (~1e-7)
+    vs direct cos(θ), same order as the direct form's own rounding."""
+    B = _pick_factor(n)
+    if B < 8 or n // B < 2:                    # tiny/odd block: direct
+        th = lo_angles(k, p0, n)
+        return jax.lax.complex(
+            jnp.cos(th), jnp.float32(sign) * jnp.sin(th)).reshape(n)
+    a = n // B
+    th_hi = phase_indices(_mul_pow2_mod(k, B), p0, a).astype(
+        jnp.float32) * jnp.float32(_TWO_PI / DENOM)
+    th_lo = phase_indices(k, 0, B).astype(
+        jnp.float32) * jnp.float32(_TWO_PI / DENOM)
+    s = jnp.float32(sign)
+    hi = jax.lax.complex(jnp.cos(th_hi), s * jnp.sin(th_hi))
+    lo = jax.lax.complex(jnp.cos(th_lo), s * jnp.sin(th_lo))
+    return hi[:, None] * lo[None, :]           # (a, B)
+
+
 def tone(k, p0, n: int):
     """Complex LO block exp(+j 2π (p0 + k i)/DENOM), complex64 (n,).
 
     The `signal_generator` equivalent (reference receiver.py:822 BFO)."""
-    th = lo_angles(k, p0, n)
-    return jax.lax.complex(jnp.cos(th), jnp.sin(th))
+    return _lo_factored(k, p0, n, sign=1.0).reshape(n)
 
 
 def mix_down(x, k, p0):
@@ -116,6 +162,10 @@ def mix_down(x, k, p0):
     the integer k. Returns (y, new_p0).
     """
     n = x.shape[-1]
-    th = lo_angles(k, p0, n)
-    lo = jax.lax.complex(jnp.cos(th), -jnp.sin(th))
-    return x * lo, advance(k, p0, n)
+    lo = _lo_factored(k, p0, n, sign=-1.0)
+    if lo.ndim == 2:
+        a, B = lo.shape
+        y = (x.reshape(*x.shape[:-1], a, B) * lo).reshape(x.shape)
+    else:
+        y = x * lo
+    return y, advance(k, p0, n)

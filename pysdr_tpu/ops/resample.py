@@ -64,19 +64,39 @@ def history_len(ntaps: int, up: int) -> int:
     return taps_per_phase(ntaps, up) - 1
 
 
-def _frames(xp, m: int, down: int, L: int):
-    """F[j, s] = xp[j*down + s] for j in [0, m), s in [0, L) — built from
-    row-block reshapes (pure layout ops, no gather/conv): pad xp to
-    (m+q)*down, reshape to rows of `down`, and concatenate q row-shifted
-    views. XLA lowers this to copies and fuses them into the consuming
-    matmul (a hand Pallas kernel that streamed the frames measured
-    slightly SLOWER on v5e — models/receiver.py note)."""
+def _slab_matmul(xp, weights, m: int, down: int, up: int):
+    """y[j, u] = sum_s xp[j*down + s] * W[u, s]  without materializing
+    the (m, L) frame matrix.
+
+    The sliding window F[j, s] = xp[j*down + s] decomposes over
+    s = t*down + d into q row-shifted VIEWS of the (m+q, down) reshape
+    of the input, so the framed matmul is exactly
+
+        y = sum_t  X[t:t+m] @ W[:, t*down:(t+1)*down].T
+
+    q (= ceil(L/down)) skinny matmuls over shifted views of ONE buffer.
+    The previous formulation concatenated the views into an explicit
+    (m, L) frame matrix first; a real-chip jax.profiler trace showed
+    XLA materializing it — ~L/down x the input read AND written per
+    step (bank4: 3.4 GB touched per 33 MB block, 95 ms at 36 GB/s,
+    probes/results_r05/). This form touches the input q times and
+    writes only the (m, up) output. Works for real or complex xp
+    (complex splits into re/im in the caller)."""
+    L = weights.shape[-1]
     q = -(-L // down)  # ceil
     need = (m + q) * down
     xp = jnp.concatenate([xp, jnp.zeros(need - xp.shape[0], xp.dtype)])
     X = xp.reshape(m + q, down)
-    F = jnp.concatenate([X[t:t + m] for t in range(q)], axis=1)
-    return F[:, :L]
+    # pad W (up, L) out to (up, q*down), then slab t is (down, up)
+    w = weights[:, 0, :]
+    w = jnp.pad(w, ((0, 0), (0, q * down - L)))
+    wq = w.reshape(w.shape[0], q, down)       # (up, q, down)
+    y = jnp.dot(X[0:m], wq[:, 0, :].T,
+                preferred_element_type=jnp.float32)
+    for t in range(1, q):
+        y = y + jnp.dot(X[t:t + m], wq[:, t, :].T,
+                        preferred_element_type=jnp.float32)
+    return y                                   # (m, up)
 
 
 @functools.partial(jax.jit, static_argnames=("up", "down"))
@@ -89,22 +109,19 @@ def resample_block(x, hist, weights, *, up: int, down: int):
               does not recompile)
     returns : (y complex64 (n*up//down,), new_hist (Kp-1,))
 
-    Implementation note: formulated as frames @ weights.T (one small
-    matmul) rather than a strided conv — the XLA TPU conv emitter in this
-    environment takes pathologically long to compile window=down+Kp-1 /
-    stride=down convs, while the framed matmul compiles in seconds and
-    runs on the MXU/VPU directly.
+    Implementation note: formulated as q shifted-slab matmuls
+    (_slab_matmul) rather than a strided conv — the XLA TPU conv
+    emitter in this environment takes pathologically long to compile
+    window=down+Kp-1 / stride=down convs, and the earlier one-big-
+    framed-matmul form materialized the frame matrix (see _slab_matmul).
     """
     n = x.shape[0]
     assert n % down == 0, (n, down)
     kp_m1 = hist.shape[0]
-    L = weights.shape[-1]
-    w2 = weights[:, 0, :].T                   # (L, up)
     xp = jnp.concatenate([hist, x])           # (n + Kp - 1,)
     m = n // down
-    F = _frames(xp, m, down, L)               # (m, L) complex
-    yr = jnp.dot(F.real, w2, preferred_element_type=jnp.float32)
-    yi = jnp.dot(F.imag, w2, preferred_element_type=jnp.float32)
+    yr = _slab_matmul(xp.real, weights, m, down, up)
+    yi = _slab_matmul(xp.imag, weights, m, down, up)
     y = jax.lax.complex(yr, yi).reshape(m * up)
     new_hist = xp[n:] if kp_m1 > 0 else hist
     return y, new_hist
@@ -116,12 +133,9 @@ def resample_block_real(x, hist, weights, *, up: int, down: int):
     n = x.shape[0]
     assert n % down == 0
     kp_m1 = hist.shape[0]
-    L = weights.shape[-1]
-    w2 = weights[:, 0, :].T
     xp = jnp.concatenate([hist, x])
     m = n // down
-    F = _frames(xp, m, down, L)
-    y = jnp.dot(F, w2, preferred_element_type=jnp.float32).reshape(m * up)
+    y = _slab_matmul(xp, weights, m, down, up).reshape(m * up)
     new_hist = xp[n:] if kp_m1 > 0 else hist
     return y, new_hist
 

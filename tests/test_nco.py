@@ -69,8 +69,12 @@ def test_mix_streaming_equals_batch():
     for i in range(0, 8192, 1024):
         yc, p = nco.mix_down(jnp.asarray(x[i:i + 1024]), k, p)
         chunks.append(np.asarray(yc))
+    # 5e-6 (-106 dB on unit signals): the factored-LO outer product adds
+    # one complex rounding vs the per-sample form, and the chunked and
+    # full paths pick different B factors (phase math itself stays
+    # exact-integer; only the float phasor product differs)
     np.testing.assert_allclose(np.concatenate(chunks), np.asarray(y_full),
-                               rtol=0, atol=1e-6)
+                               rtol=0, atol=5e-6)
 
 
 def test_tone_unit_amplitude():
