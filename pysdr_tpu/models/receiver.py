@@ -120,10 +120,12 @@ class ReceiverBank:
         self.design = ReceiverDesign.from_config(cfg)
         d = self.design
         # A hand-written Pallas mix+decimate kernel was benched against
-        # this XLA framed-matmul path on the real v5e (BENCH r3:
-        # 32.6 Gsamp/s pallas vs 34.6 Gsamp/s XLA for the 4-RX 8 MHz
-        # bank) and deleted per that result: XLA already fuses the NCO
-        # mix into the polyphase matmul optimally for this op shape.
+        # this XLA path on the real v5e in r3 and deleted for showing
+        # no advantage. (The r3 numbers themselves were later found to
+        # be elided-execution acks — PERF.md r5 — but the conclusion
+        # stands on the honest r5 traces: mix+resample cost ~0 of the
+        # real device step; the AF filters that DID dominate are now
+        # overlap-save FFT, ops/demod.py fft_af.)
         # Video (anti-alias) weight bank: one packed conv weight per
         # VIDEO_BWs row (reference dec.filter_bank, gui.py:1672-1714).
         self.video_bws = [bw for bw in tables.VIDEO_BWS_HZ
