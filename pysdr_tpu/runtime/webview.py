@@ -81,6 +81,9 @@ UI_SPEC = {
          "kind": "checked", "reload": "rig"},
         {"id": "rigcl", "url": "rig?op=clar&v={v}", "kind": "checked",
          "reload": "rig"},
+        # top-row save-raw-IQ toggle (reference gui.py:1184-1219);
+        # records into the server's --save-dir
+        {"id": "rec", "url": "record?iq={v}", "kind": "checked"},
     ],
     # per-RX row controls: element id is prefix+rx_index
     "row": [
@@ -144,6 +147,7 @@ PAGE_TEMPLATE = """<!DOCTYPE html>
  <label class="lbl"><input id="shwf" type="checkbox" checked>WF</label>
  <label class="lbl"><input id="shaf" type="checkbox" checked>AF</label>
  <label class="lbl"><input id="shbb" type="checkbox" checked>BB</label>
+ <label class="lbl"><input id="rec" type="checkbox">REC</label>
  <span id="peaks" class="lbl"></span></div>
 <canvas id="psd" width="1024" height="120"></canvas>
 <canvas id="wf" width="1024" height="240"></canvas>
