@@ -96,6 +96,7 @@ class RtlTcpSource:
         self._reconnect = int(reconnect)
         self._reconnect_wait = float(reconnect_wait)
         self.reconnects = 0
+        self._dead_reason: str | None = None
         self._gain_db = gain_db          # None = tuner hardware AGC
         self._agc, self._bias = bool(agc), bool(bias_tee)
         self._sock = socket.create_connection((host, port),
@@ -165,10 +166,12 @@ class RtlTcpSource:
 
     # ---- protocol ----
 
-    def _recv_exact(self, n: int) -> bytes:
+    def _recv_exact(self, n: int, sock: socket.socket | None = None
+                    ) -> bytes:
+        sock = sock if sock is not None else self._sock
         buf = b""
         while len(buf) < n:
-            chunk = self._sock.recv(n - len(buf))
+            chunk = sock.recv(n - len(buf))
             if not chunk:
                 raise ConnectionError("rtl_tcp server closed")
             buf += chunk
@@ -184,16 +187,18 @@ class RtlTcpSource:
     def _write_loop(self):
         """Drains queued device commands onto the socket. A send failure
         is swallowed: the host-side shadow keeps the intended state and
-        a reconnect re-programs the whole device from it."""
+        a reconnect re-programs the whole device from it. The send
+        happens UNDER _sock_lock so it serializes against a reconnect's
+        program-and-swap — a command arriving mid-reconnect lands on
+        the new session instead of vanishing into the dead socket."""
         while not self._stop.is_set():
             try:
                 pkt = self._cmdq.get(timeout=0.2)
             except queue.Empty:
                 continue
-            with self._sock_lock:
-                sock = self._sock
             try:
-                sock.sendall(pkt)
+                with self._sock_lock:
+                    self._sock.sendall(pkt)
             except OSError:
                 pass
 
@@ -222,7 +227,9 @@ class RtlTcpSource:
         """Reconnect after `reason` (EOF / stall / socket error) with at
         most `self._reconnect` attempts; re-handshakes and re-programs
         srate/freq/gain/ppm from the device-model state. Returns True
-        when streaming may resume."""
+        when streaming may resume; on exhaustion, logs loudly and marks
+        the source dead so the consumer raises instead of masquerading
+        as a clean end-of-stream."""
         self._partial = b""
         t0 = time.monotonic()
         for attempt in range(1, self._reconnect + 1):
@@ -232,20 +239,22 @@ class RtlTcpSource:
                 self._sock.close()
             except OSError:
                 pass
+            sock = None
             try:
                 sock = socket.create_connection(
                     (self._host, self._port), timeout=self._timeout)
                 sock.settimeout(self._timeout)
-                hdr = b""
-                while len(hdr) < 12:
-                    chunk = sock.recv(12 - len(hdr))
-                    if not chunk:
-                        raise ConnectionError("closed during handshake")
-                    hdr += chunk
+                hdr = self._recv_exact(12, sock)
                 if hdr[:4] != MAGIC:
                     raise ConnectionError(f"bad magic {hdr[:4]!r}")
-                self._program(sock)
+                # program-and-swap under the lock: serializes against
+                # the command writer thread (see _write_loop) and a
+                # concurrent close()
                 with self._sock_lock:
+                    if self._stop.is_set():
+                        sock.close()
+                        return False
+                    self._program(sock)
                     self._sock = sock
                 self.reconnects += 1
                 print(f"rtl_tcp: {reason}; reconnected to "
@@ -255,7 +264,19 @@ class RtlTcpSource:
                       "device re-programmed", file=sys.stderr)
                 return True
             except (OSError, ConnectionError):
-                time.sleep(min(self._reconnect_wait * attempt, 5.0))
+                if sock is not None:
+                    try:
+                        sock.close()
+                    except OSError:
+                        pass
+                # interruptible backoff: close() must not wait out a
+                # multi-second retry sleep
+                self._stop.wait(min(self._reconnect_wait * attempt, 5.0))
+        self._dead_reason = (
+            f"rtl_tcp: {reason}; gave up after {self._reconnect} "
+            f"reconnect attempts over {time.monotonic() - t0:.1f} s "
+            f"({self._host}:{self._port})")
+        print(self._dead_reason, file=sys.stderr)
         return False
 
     # ---- Soapy-shaped device surface (reference utils.py:122-273) ----
@@ -273,6 +294,10 @@ class RtlTcpSource:
     def set_gain(self, db: float):
         self._cmd(CMD_SET_GAIN, int(round(db * 10.0)))
         self.rf_gain_db = float(db)
+        # an explicit gain pins MANUAL mode, including across a
+        # reconnect's _program replay (a device that started on tuner
+        # AGC must not silently revert there after a server bounce)
+        self._gain_db = float(db)
 
     def get_gain(self) -> float:
         return self.rf_gain_db
@@ -372,6 +397,12 @@ class RtlTcpSource:
                 raise TimeoutError(
                     f"rtl_tcp: no data for {timeout:.0f} s "
                     "(server/dongle stalled?)")
+            if self._dead_reason is not None \
+                    and (self._w - self._r) < nbytes:
+                # reconnect retries exhausted: a dead radio is an
+                # ERROR, not a clean end-of-stream (the r4 fail-loudly
+                # invariant extends to the auto-reconnect path)
+                raise ConnectionError(self._dead_reason)
             # stream ended: hand over whatever whole pairs remain
             have = min(nbytes, self._w - self._r)
             pos = self._r % self._rsize
@@ -402,11 +433,12 @@ class RtlTcpSource:
                 time.sleep(0.01)
             time.sleep(0.02)             # writer may be mid-sendall
         self._stop.set()
-        try:
-            self._sock.shutdown(socket.SHUT_RDWR)
-        except OSError:
-            pass
-        self._sock.close()
+        with self._sock_lock:        # serialize with a reconnect swap
+            try:
+                self._sock.shutdown(socket.SHUT_RDWR)
+            except OSError:
+                pass
+            self._sock.close()
         if self._thread.is_alive():
             self._thread.join(timeout=2.0)
         if self._writer.is_alive():

@@ -80,6 +80,7 @@ class Executive:
         self.prefetch = prefetch
         self._pf_q: queue.Queue | None = None
         self._pf_thread: threading.Thread | None = None
+        self._pf_error: BaseException | None = None
         d = bank.design
         ring_size = 32 * 1024 * max(1, int(d.fs_out / 48e3))  # params.py:456
         self.audio_rings = audio_rings or [
@@ -178,11 +179,24 @@ class Executive:
             return xb, pair[1]
 
         def pf_loop():
+            # NOTE on stage_ms: each key has exactly one writer thread
+            # (read/upload here when prefetch is on, dispatch/drain on
+            # the executive thread), so the += updates never race;
+            # stage_report() readers may see a mid-block value, which
+            # is fine for a diagnostic.
             while not self._stop.is_set():
                 t0 = time.perf_counter()
-                pair = read_host_raw()
-                self.stage_ms["read"] += (time.perf_counter() - t0) * 1e3
-                item = prepare(pair)
+                try:
+                    pair = read_host_raw()
+                    self.stage_ms["read"] += \
+                        (time.perf_counter() - t0) * 1e3
+                    item = prepare(pair)
+                except BaseException as e:  # noqa: BLE001 — a source
+                    # error (rtl_tcp timeout, disk I/O) must surface in
+                    # the executive loop, not die silently here and
+                    # leave read_block blocked on the queue forever
+                    self._pf_error = e
+                    item = None
                 while not self._stop.is_set():
                     try:
                         self._pf_q.put(item, timeout=0.2)
@@ -190,7 +204,7 @@ class Executive:
                     except queue.Full:
                         continue
                 if item is None:
-                    return                         # stream end
+                    return                         # stream end / error
 
         def read_block():
             """Next (device_block, host complex64) — from the prefetch
@@ -204,10 +218,23 @@ class Executive:
                         or not self._pf_thread.is_alive()) \
                         and self._pf_q.empty():
                     # first run, or a consumed EOF: (re)start the reader
+                    self._pf_error = None
                     self._pf_thread = threading.Thread(
                         target=pf_loop, daemon=True)
                     self._pf_thread.start()
-                item = self._pf_q.get()
+                while True:
+                    try:
+                        item = self._pf_q.get(timeout=1.0)
+                        break
+                    except queue.Empty:
+                        if self._stop.is_set():
+                            return None
+                        if not self._pf_thread.is_alive():
+                            item = None      # died without a sentinel
+                            break
+                if item is None and self._pf_error is not None:
+                    err, self._pf_error = self._pf_error, None
+                    raise err                # loud, like the inline path
             else:
                 t0 = time.perf_counter()
                 pair = read_host_raw()

@@ -225,3 +225,61 @@ def test_rtltcp_auto_reconnect_survives_server_bounce():
             src.close()
         if srv2 is not None:
             srv2.stop()
+
+
+def test_rtltcp_reconnect_exhaustion_raises_loudly():
+    """A dead radio with reconnect retries exhausted must raise, not
+    masquerade as a clean end-of-stream (the r4 fail-loudly invariant
+    extends to the auto-reconnect path)."""
+    import pytest
+
+    fs = 256e3
+    srv = rtltcp.FakeRtlTcpServer(_am_iq(fs, 1 << 15, 60e3))
+    src = rtltcp.RtlTcpSource(
+        "127.0.0.1", srv.port, fs=fs, fc=100e6, timeout=0.5,
+        reconnect=2, reconnect_wait=0.05, ring_samples=1 << 15)
+    try:
+        src.read_data(1 << 13, timeout=5.0)
+        srv.stop()                       # ...and never comes back
+        with pytest.raises(ConnectionError, match="gave up"):
+            # drain the backlog then demand more: the pump exhausts its
+            # retries against the dead port and marks the source dead
+            for _ in range(64):
+                src.read_data(1 << 13, timeout=10.0)
+    finally:
+        src.close()
+
+
+def test_rtltcp_manual_gain_set_mid_run_survives_reconnect():
+    """set_gain() after an AGC-mode bring-up pins MANUAL gain across a
+    reconnect's device re-program (the shadow must carry the mode, not
+    just the value)."""
+    import time
+
+    fs = 256e3
+    iq = _am_iq(fs, 1 << 15, 60e3)
+    srv = rtltcp.FakeRtlTcpServer(iq)
+    srv2 = None
+    src = rtltcp.RtlTcpSource(          # gain_db=None -> tuner AGC
+        "127.0.0.1", srv.port, fs=fs, fc=100e6, timeout=1.0,
+        reconnect=20, reconnect_wait=0.05, ring_samples=1 << 15)
+    try:
+        src.set_gain(7.0)               # operator pins manual gain
+        port = srv.port
+        srv.stop()
+        time.sleep(0.2)
+        srv2 = rtltcp.FakeRtlTcpServer(iq, port=port)
+        deadline = time.monotonic() + 10.0
+        while src.reconnects == 0 and time.monotonic() < deadline:
+            time.sleep(0.05)
+        assert src.reconnects >= 1
+        src.close()
+        time.sleep(0.2)
+        cmds = srv2.commands
+        modes = [v for c, v in cmds if c == rtltcp.CMD_SET_GAIN_MODE]
+        gains = [v for c, v in cmds if c == rtltcp.CMD_SET_GAIN]
+        assert modes == [1], modes      # manual, not AGC
+        assert 70 in gains
+    finally:
+        if srv2 is not None:
+            srv2.stop()

@@ -306,3 +306,35 @@ def test_executive_bb_aligned_with_drained_audio():
     # bb index i really is source block i: rms scales as (i+1)
     for i, b in enumerate(bb_rms):
         assert abs(b / bb_rms[0] - (i + 1)) < 0.15 * (i + 1), bb_rms
+
+
+def test_prefetch_source_error_surfaces_not_hangs():
+    """A source that raises mid-stream must surface the error from
+    Executive.run() (the prefetch thread forwards it), never leave the
+    loop blocked on the read-ahead queue."""
+    import numpy as np
+    import pytest
+
+    from pysdr_tpu.config import PipelineConfig, ReceiverConfig
+    from pysdr_tpu.models.receiver import ReceiverBank
+    from pysdr_tpu.runtime.executive import Executive
+    from pysdr_tpu.tables import Mode
+
+    class FlakySource:
+        def __init__(self, n_ok_blocks, block):
+            self.left = n_ok_blocks * block
+
+        def read_data(self, n, loop=True):
+            if self.left <= 0:
+                raise TimeoutError("dongle stalled")
+            self.left -= n
+            return np.zeros(n, np.complex64)
+
+    cfg = PipelineConfig(
+        fs_in=512e3, fs_out=48e3, out_block=1024, foffset_hz=60e3,
+        receivers=(ReceiverConfig(fc_hz=10e6, mode=Mode.AM),))
+    bank = ReceiverBank(cfg)
+    ex = Executive(bank, FlakySource(3, bank.design.in_block))
+    with pytest.raises(TimeoutError, match="dongle stalled"):
+        ex.run(n_blocks=10)
+    assert ex.n_blocks <= 4
