@@ -80,3 +80,21 @@ def test_mix_streaming_equals_batch():
 def test_tone_unit_amplitude():
     z = np.asarray(nco.tone(nco.snap_freq(700.0, 48e3), 0, 4800))
     np.testing.assert_allclose(np.abs(z), 1.0, atol=1e-6)
+
+
+def test_factored_lo_matches_direct_across_sizes():
+    """The O(sqrt n) factored LO (outer product of two phasor tables)
+    must match the per-sample cos/sin form to float rounding for every
+    block-size class: B-divisible, odd (direct fallback), tiny, and
+    non-power-of-two multiples."""
+    fs = 2.048e6
+    k = nco.snap_freq(123456.7, fs)
+    for n in (7, 96, 1000, 4096, 12288, 4096000 // 500):
+        got = np.asarray(nco.mix_down(jnp.ones(n, jnp.complex64), k, 5)[0])
+        idx = (5 + k * np.arange(n, dtype=np.int64)) % nco.DENOM
+        th = idx.astype(np.float64) * (2 * np.pi / nco.DENOM)
+        want = np.exp(-1j * th)
+        assert np.max(np.abs(got - want)) < 5e-6, n
+        # phase advance stays exact-integer regardless of path
+        assert int(nco.mix_down(jnp.ones(n, jnp.complex64), k, 5)[1]) \
+            == (5 + k * n) % nco.DENOM
