@@ -233,12 +233,30 @@ class ReceiverBank:
         state = cplx.unpack_tree(state_p, self._state_mask)
         d = self.design
         kp1 = state.hist.shape[0]
+        n = x.shape[0]
 
-        def one(st, pr):
-            return channel_step(x, state.hist, st, pr, self.design,
-                                self.video_bank, self.carrier_taps,
-                                self.pilot_taps)
-        audio, new_ch, bb = jax.vmap(one)(state.ch, params)
+        # Fused bank-level mix+resample on the SHARED raw slab matrix
+        # (ops/resample.mixed_resample_bank): the per-channel LO folds
+        # into complex resampler weights via the exact integer-phase
+        # factorization, so no per-channel mixed stream is materialized
+        # (83% of the r5 bank4 device step — PERF.md). channel_step
+        # remains the reference per-channel form (the stream-parallel
+        # processors use it; equivalence pinned in tests).
+        p0m = jax.vmap(
+            lambda k, p: nco.advance((nco.DENOM - k) % nco.DENOM, p, kp1)
+        )(params.nco_k, state.ch.nco_phase)
+        w_rx = jnp.asarray(self.video_bank)[params.video_row]
+        bb = resample.mixed_resample_bank(
+            x, state.hist, w_rx, params.nco_k, p0m, up=d.up, down=d.down)
+        new_phase = jax.vmap(lambda k, p: nco.advance(k, p, n))(
+            params.nco_k, state.ch.nco_phase)
+
+        def one(bb_i, dst, pr):
+            return demod_ops.demod_block(
+                bb_i, dst, pr.demod, d.demod, self.carrier_taps,
+                self.pilot_taps)
+        audio, new_demod = jax.vmap(one)(bb, state.ch.demod, params)
+        new_ch = ChannelState(nco_phase=new_phase, demod=new_demod)
         new_state = BankState(hist=x[-kp1:] if kp1 else state.hist,
                               ch=new_ch)
         new_state_p, _ = cplx.pack_tree(new_state)

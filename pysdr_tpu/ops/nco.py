@@ -93,6 +93,32 @@ def advance(k, p0, n: int):
             + (k_l2 * q2) % DENOM) % DENOM
 
 
+def mul_mod(k, c: int):
+    """(k * c) mod DENOM for a STATIC python int c, int32-safe for traced
+    k < DENOM: binary expansion of c keeps every product below 2^23
+    (a bare k * c overflows int32 for c >= 512)."""
+    k = jnp.asarray(k, jnp.int32)
+    c = int(c) % DENOM
+    res = jnp.zeros_like(k)
+    while c:
+        if c & 1:
+            res = (res + k) % DENOM
+        k = (k * 2) % DENOM
+        c >>= 1
+    return res
+
+
+def phasor_table(k, p0, n: int, sign: float = -1.0):
+    """exp(sign * j * 2π (p0 + k i)/DENOM) for i in [0, n), complex64 (n,).
+
+    Small-n building block for phase factorizations (the LO over a
+    strided index grid factors into products of these on the exact
+    integer phase grid — ops/resample.mixed_resample_bank)."""
+    th = phase_indices(k, p0, n).astype(jnp.float32) \
+        * jnp.float32(_TWO_PI / DENOM)
+    return jax.lax.complex(jnp.cos(th), jnp.float32(sign) * jnp.sin(th))
+
+
 def lo_angles(k, p0, n: int):
     """Block of LO phase angles in radians, float32, shape (n,)."""
     idx = phase_indices(k, p0, n)

@@ -64,6 +64,25 @@ def history_len(ntaps: int, up: int) -> int:
     return taps_per_phase(ntaps, up) - 1
 
 
+def _mxu_lhs_dtype():
+    """Operand dtype for the slab matmuls.
+
+    On TPU, DEFAULT matmul precision already rounds f32 operands to
+    bfloat16 before the MXU pass — but when the cast is left implicit,
+    XLA materializes the full f32 operand and converts it in a dedicated
+    pass (two ~1.2 ms `while` conversion loops per bank4 step, 41% of
+    the whole step — probes/results_r05/device_profile_postfix.json,
+    PERF.md). Casting explicitly is numerically IDENTICAL on TPU (same
+    bf16 rounding, same f32 accumulate via preferred_element_type) and
+    lets XLA fuse the convert into the producer (the NCO mix multiply),
+    never writing the f32 intermediate. On CPU/GPU backends f32 matmuls
+    really run in f32, so there the cast would lose precision — keep
+    f32 (golden-parity and sharded==serial tests run on CPU).
+    """
+    import jax
+    return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+
+
 def _slab_matmul(xp, weights, m: int, down: int, up: int):
     """y[j, u] = sum_s xp[j*down + s] * W[u, s]  without materializing
     the (m, L) frame matrix.
@@ -86,11 +105,12 @@ def _slab_matmul(xp, weights, m: int, down: int, up: int):
     q = -(-L // down)  # ceil
     need = (m + q) * down
     xp = jnp.concatenate([xp, jnp.zeros(need - xp.shape[0], xp.dtype)])
-    X = xp.reshape(m + q, down)
+    lhs_dt = _mxu_lhs_dtype()
+    X = xp.astype(lhs_dt).reshape(m + q, down)
     # pad W (up, L) out to (up, q*down), then slab t is (down, up)
     w = weights[:, 0, :]
     w = jnp.pad(w, ((0, 0), (0, q * down - L)))
-    wq = w.reshape(w.shape[0], q, down)       # (up, q, down)
+    wq = w.reshape(w.shape[0], q, down).astype(lhs_dt)  # (up, q, down)
     y = jnp.dot(X[0:m], wq[:, 0, :].T,
                 preferred_element_type=jnp.float32)
     for t in range(1, q):
@@ -138,6 +158,89 @@ def resample_block_real(x, hist, weights, *, up: int, down: int):
     y = _slab_matmul(xp, weights, m, down, up).reshape(m * up)
     new_hist = xp[n:] if kp_m1 > 0 else hist
     return y, new_hist
+
+
+@functools.partial(jax.jit, static_argnames=("up", "down"))
+def mixed_resample_bank(x, hist, weights, k, p0, *, up: int, down: int):
+    """Fused NCO mix + polyphase resample for a WHOLE channel bank from
+    the SHARED raw RF block — no per-channel mixed stream is ever
+    materialized.
+
+    The per-channel pipeline is y_ch = resample(x * LO_ch). Both are
+    linear, and on the polyphase index grid i = j*down + s the exact
+    integer-phase LO (ops/nco.py) factors:
+
+        LO[j*down + s] = exp(-j2π(p0 + k(j·down+s))/D)
+                       = A[j] * C[t] * B[d]        (s = t*down + d)
+
+    with A[j] = exp(-j2π(p0 + kd·j)/D), kd = (k*down) mod D,
+    C[t] = exp(-j2π kd·t/D), B[d] = exp(-j2π k·d/D) — EXACT on the
+    integer grid (phases add mod D; only float rounding differs from the
+    per-sample form). Folding C·B into the (real) anti-alias taps makes
+    the resample of the MIXED signal a matmul of the shared RAW slab
+    matrix X against per-channel COMPLEX weights, followed by a cheap
+    per-row scale by A:
+
+        y_ch[j, u] = A_ch[j] · Σ_t (X[t:t+m] @ (wq[:,t,:]·C_ch[t]·B_ch).T)[j, u]
+
+    Why: the r5 device trace (PERF.md) showed 83% of the bank4 step
+    spent materializing + bf16-retiling the four per-channel mixed
+    streams (131 MB written+reread per block). Here the slab matrix is
+    built ONCE (2 components instead of 2·n_rx) and every channel rides
+    the N dimension of the same matmuls (N = 2·n_rx·up instead of 3 —
+    also better MXU tiling).
+
+    x: complex64 (n,) raw RF block, n % down == 0 (shared by the bank);
+    hist: complex64 (Kp-1,) raw tail of the previous block;
+    weights: float32 (n_rx, up, 1, L) per-channel packed video taps
+    (traced — bank-row swaps don't recompile);
+    k, p0: int32 (n_rx,) NCO numerators and phase indices at hist[0].
+    Returns bb complex64 (n_rx, n*up//down).
+
+    Equivalence with the per-channel mix_down + resample_block chain is
+    pinned in tests/test_resample.py (float-rounding-level).
+    """
+    from pysdr_tpu.ops import nco
+
+    n = x.shape[0]
+    assert n % down == 0, (n, down)
+    n_rx, up_w, _, L = weights.shape
+    assert up_w == up
+    q = -(-L // down)
+    m = n // down
+    xp = jnp.concatenate([hist, x])
+    xp = jnp.concatenate(
+        [xp, jnp.zeros((m + q) * down - xp.shape[0], xp.dtype)])
+    lhs_dt = _mxu_lhs_dtype()
+    Xr = xp.real.astype(lhs_dt).reshape(m + q, down)
+    Xi = xp.imag.astype(lhs_dt).reshape(m + q, down)
+
+    kd = nco.mul_mod(k, down)                              # (n_rx,)
+    B = jax.vmap(lambda kk: nco.phasor_table(kk, 0, down))(k)
+    C = jax.vmap(lambda kk: nco.phasor_table(kk, 0, q))(kd)
+    A = jax.vmap(lambda kk, pp: nco.phasor_table(kk, pp, m))(kd, p0)
+
+    w = jnp.pad(weights[:, :, 0, :], ((0, 0), (0, 0), (0, q * down - L)))
+    wq = w.reshape(n_rx, up, q, down)
+    Wc = wq * (C[:, None, :, None] * B[:, None, None, :])  # complex
+
+    nu = n_rx * up
+    # RHS for slab t: (down, 2*nu) = [Re W_t | Im W_t]
+    Wt = Wc.transpose(2, 3, 0, 1).reshape(q, down, nu)     # (q, down, nu)
+    R = jnp.concatenate([Wt.real, Wt.imag], axis=2).astype(lhs_dt)
+    Sr = jnp.dot(Xr[0:m], R[0], preferred_element_type=jnp.float32)
+    Si = jnp.dot(Xi[0:m], R[0], preferred_element_type=jnp.float32)
+    for t in range(1, q):
+        Sr = Sr + jnp.dot(Xr[t:t + m], R[t],
+                          preferred_element_type=jnp.float32)
+        Si = Si + jnp.dot(Xi[t:t + m], R[t],
+                          preferred_element_type=jnp.float32)
+    # (Xr + jXi) @ (Wr + jWi): re = XrWr - XiWi, im = XrWi + XiWr
+    y_re = Sr[:, :nu] - Si[:, nu:]
+    y_im = Sr[:, nu:] + Si[:, :nu]
+    y = jax.lax.complex(y_re, y_im).reshape(m, n_rx, up)
+    y = y * A.T[:, :, None]
+    return y.transpose(1, 0, 2).reshape(n_rx, m * up)
 
 
 def fir_block(x, hist, taps):

@@ -2,7 +2,7 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from pysdr_tpu.ops import fir, resample
+from pysdr_tpu.ops import fir, nco, resample
 from pysdr_tpu import rates
 
 
@@ -110,6 +110,55 @@ def test_streaming_fir_cmpx_state(rng):
         parts.append(np.asarray(y))
     np.testing.assert_allclose(np.concatenate(parts), np.asarray(y_full),
                                atol=1e-5)
+
+
+@pytest.mark.parametrize("up,down", [(3, 500), (3, 128), (1, 4)])
+def test_mixed_resample_bank_matches_per_channel(up, down, rng):
+    """The fused bank-level mix+resample (the NCO folded into complex
+    resampler weights via the exact integer-phase factorization,
+    ops/resample.mixed_resample_bank) must match the per-channel
+    mix_down -> resample_block chain at float-rounding level — the
+    factorization is an exact regrouping on the integer phase grid, so
+    only fp reassociation separates the two forms."""
+    fs = 2.048e6
+    n = down * max(64, 4096 // down)
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+         ).astype(np.complex64)
+    h = fir.lowpass(up * 64, 0.4 * min(1.0, up / down), 2.0,
+                    scale=float(up))
+    W = resample.pack_weights(h, up, down)
+    kp1 = resample.history_len(len(h), up)
+    hist = (rng.standard_normal(kp1) + 1j * rng.standard_normal(kp1)
+            ).astype(np.complex64)
+    ks = [nco.snap_freq(f, fs) for f in (120e3, -300e3, 55e3, 731e3)]
+    p0s = [7, 123456, 0, nco.DENOM - 1]
+    refs = []
+    for k, p0 in zip(ks, p0s):
+        xp = np.concatenate([hist, x])
+        ym, _ = nco.mix_down(jnp.asarray(xp), k, p0)
+        ym = np.asarray(ym)
+        y, _ = resample.resample_block(
+            jnp.asarray(ym[kp1:]), jnp.asarray(ym[:kp1]), jnp.asarray(W),
+            up=up, down=down)
+        refs.append(np.asarray(y))
+    refs = np.stack(refs)
+    bb = np.asarray(resample.mixed_resample_bank(
+        jnp.asarray(x), jnp.asarray(hist),
+        jnp.asarray(np.stack([W] * len(ks))),
+        jnp.asarray(ks, np.int32), jnp.asarray(p0s, np.int32),
+        up=up, down=down))
+    assert bb.shape == refs.shape
+    err = ((np.abs(bb - refs) ** 2).mean()
+           / max((np.abs(refs) ** 2).mean(), 1e-30))
+    snr_db = -10 * np.log10(max(err, 1e-30))
+    assert snr_db > 100.0, snr_db
+
+
+def test_mul_mod_matches_python():
+    for k in (0, 1, 12345, nco.DENOM - 1, 54321):
+        for c in (1, 2, 500, 625, 128, nco.DENOM - 1, 3):
+            got = int(nco.mul_mod(jnp.int32(k), c))
+            assert got == (k * c) % nco.DENOM, (k, c, got)
 
 
 def test_resampler_antiimaging_when_upsampling():
