@@ -54,15 +54,11 @@ class ChannelizerDesign:
 
 
 def pack_branch_weights(h: np.ndarray, n_channels: int) -> np.ndarray:
-    """(N*K,) prototype -> conv weights (N, N, K): out branch r takes input
-    feature r with taps h[r + k*N] (time-reversed for the conv window)."""
+    """(N*K,) prototype -> per-branch taps (N, K): h_pp[r, k] = h[r + k*N]."""
     n = n_channels
     k = len(h) // n
-    h_pp = np.asarray(h, np.float32).reshape(k, n).T      # (N, K)
-    w = np.zeros((n, n, k), np.float32)
-    for r in range(n):
-        w[r, r, :] = h_pp[r, ::-1]
-    return w
+    return np.ascontiguousarray(
+        np.asarray(h, np.float32).reshape(k, n).T)        # (N, K)
 
 
 def history_len(design: ChannelizerDesign) -> int:
@@ -89,19 +85,25 @@ def dft_matrix(n_channels: int, cols: np.ndarray | None = None):
 def branch_filter(x, hist, weights, n_channels: int):
     """Polyphase branch filtering only (no channel transform): complex64
     in, returns (v (M, N) complex64, new_hist). v[m, r] is branch r at
-    decimated time m."""
+    decimated time m.
+
+    v[m, r] = sum_k h_pp[r, k] * xb[m + K-1-k, r]: K shifted elementwise
+    multiply-adds over the (M, N) block view, which XLA fuses into one
+    VPU pass — the earlier diagonal-feature conv form spent 64x the
+    useful MACs and paid transpose/pad copies (~30% of the chan64 device
+    step, probes/results_r05/device_profile_fused.json)."""
     n = x.shape[0]
     nch = n_channels
     xp = jnp.concatenate([hist, x])
     mk = xp.shape[0] // nch
     xb = xp.reshape(mk, nch)
-    lhs = jnp.stack([xb.real.T, xb.imag.T])          # (2, N, M+K-1)
-    v = jax.lax.conv_general_dilated(
-        lhs, weights, window_strides=(1,), padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        preferred_element_type=jnp.float32)          # (2, N, M)
-    vc = jax.lax.complex(v[0], v[1]).T               # (M, N)
-    return vc, xp[n:]
+    w = jnp.asarray(weights)                         # (N, K)
+    kk = w.shape[-1]
+    m = mk - (kk - 1)
+    v = xb[kk - 1:kk - 1 + m] * w[:, 0][None, :]
+    for t in range(1, kk):
+        v = v + xb[kk - 1 - t:kk - 1 - t + m] * w[:, t][None, :]
+    return v, xp[n:]
 
 
 def channel_transform(v, w_re, w_im):

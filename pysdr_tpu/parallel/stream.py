@@ -83,6 +83,8 @@ def make_stream_processor(bank: rx_mod.ReceiverBank, mesh: Mesh,
     out_halo = H * u // d
     aseg, ahalo = seg * u // d, out_halo
 
+    kp1 = resample.history_len(design.video_taps, design.up)
+
     def shard_fn(x_local, params):
         # x_local: float32 (seg, 2) packed pair — complex64 never crosses
         # the jit boundary (ops/cplx.py). Halo exchange rides the pair.
@@ -92,28 +94,36 @@ def make_stream_processor(bank: rx_mod.ReceiverBank, mesh: Mesh,
         xe = cplx.unpack(jnp.concatenate([left_halo, x_local]))  # (H+seg,)
         s = jax.lax.axis_index("stream")
 
-        def one_channel(p: rx_mod.ChannelParams):
-            # analytic phases at segment start - H
+        # Fused bank-level mix+resample on the shared extended segment
+        # (ops/resample.mixed_resample_bank — same path as the serial
+        # bank's step): analytic per-channel phases at (segment start
+        # - H - kp1), the zero resampler history folded in.
+        def phases(p: rx_mod.ChannelParams):
             k = p.nco_k
             k_seg = nco.advance(k, 0, seg)
             k_h = nco.advance(k, 0, H)
             p0 = _shifted_phase(k, k_seg, k_h, s)
+            return nco.advance((nco.DENOM - k) % nco.DENOM, p0, kp1)
+
+        p0m = jax.vmap(phases)(params)
+        w_rx = jnp.asarray(video_bank)[params.video_row]
+        bb = resample.mixed_resample_bank(
+            xe, jnp.zeros(kp1, jnp.complex64), w_rx, params.nco_k, p0m,
+            up=design.up, down=design.down)
+
+        def one_channel(bb_i, p: rx_mod.ChannelParams):
             bk = p.demod.bfo_k
             bk_seg = nco.advance(bk, 0, aseg)
             bk_h = nco.advance(bk, 0, ahalo)
             b0 = _shifted_phase(bk, bk_seg, bk_h, s)
-            st = rx_mod.ChannelState(
-                nco_phase=p0,
-                demod=demod_ops.init_state(design.demod)._replace(
-                    bfo_phase=b0))
-            hist0 = jnp.zeros(resample.history_len(design.video_taps, u),
-                              jnp.complex64)
-            audio, _, _ = rx_mod.channel_step(
-                xe, hist0, st, p, design, video_bank, carrier_taps,
+            dst = demod_ops.init_state(design.demod)._replace(
+                bfo_phase=b0)
+            audio, _ = demod_ops.demod_block(
+                bb_i, dst, p.demod, design.demod, carrier_taps,
                 pilot_taps)
             return cplx.pack(audio[out_halo:])          # drop warm-up
 
-        return jax.vmap(one_channel)(params)            # (C_local, aseg)
+        return jax.vmap(one_channel)(bb, params)        # (C_local, aseg)
 
     in_specs = (P("stream"), jax.tree.map(
         lambda _: P("ch") if has_ch else P(), bank.params))
@@ -207,8 +217,11 @@ def make_streaming_processor(bank: rx_mod.ReceiverBank, mesh: Mesh,
         # shard 0's halo is the PREVIOUS super-block's tail, not zeros
         left = jnp.where(s == 0, tail_prev, left)
         xe = cplx.unpack(jnp.concatenate([left, x_local]))
+        kp1 = resample.history_len(design.video_taps, u)
 
-        def one_channel(p: rx_mod.ChannelParams, nb, bb, dstp):
+        # fused bank-level mix+resample (ops/resample.mixed_resample_bank
+        # — the serial bank's path) with analytic per-channel phases
+        def phases(p: rx_mod.ChannelParams, nb):
             k = p.nco_k
             k_seg = nco.advance(k, 0, seg)
             k_h = nco.advance(k, 0, H)
@@ -216,26 +229,31 @@ def make_streaming_processor(bank: rx_mod.ReceiverBank, mesh: Mesh,
             # overflow at large shard counts (nco.py discipline)
             p0 = (nb + nco.advance(k_seg, jnp.int32(0), s) - k_h
                   + nco.DENOM) % nco.DENOM
+            return nco.advance((nco.DENOM - k) % nco.DENOM, p0, kp1)
+
+        p0m = jax.vmap(phases)(params, nco_base)
+        w_rx = jnp.asarray(video_bank)[params.video_row]
+        bb_all = resample.mixed_resample_bank(
+            xe, jnp.zeros(kp1, jnp.complex64), w_rx, params.nco_k, p0m,
+            up=u, down=design.down)
+
+        def one_channel(bb_in, p: rx_mod.ChannelParams, bb, dstp):
             bk = p.demod.bfo_k
             bk_seg = nco.advance(bk, 0, aseg)
             bk_h = nco.advance(bk, 0, ahalo)
             b0 = (bb + nco.advance(bk_seg, jnp.int32(0), s) - bk_h
                   + nco.DENOM) % nco.DENOM
             dprev = cplx.unpack_tree(dstp, dmask)
-            st = rx_mod.ChannelState(
-                nco_phase=p0, demod=dprev._replace(bfo_phase=b0))
-            hist0 = jnp.zeros(resample.history_len(design.video_taps, u),
-                              jnp.complex64)
-            audio, new_st, bb_sig = rx_mod.channel_step(
-                xe, hist0, st, p, design, video_bank, carrier_taps,
-                pilot_taps)
-            new_dp, _ = cplx.pack_tree(new_st.demod)
+            audio, new_d = demod_ops.demod_block(
+                bb_in, dprev._replace(bfo_phase=b0), p.demod,
+                design.demod, carrier_taps, pilot_taps)
+            new_dp, _ = cplx.pack_tree(new_d)
             outs = (cplx.pack(audio[out_halo:]), new_dp)
             if emit_bb:
-                outs += (cplx.pack(bb_sig[out_halo:]),)
+                outs += (cplx.pack(bb_in[out_halo:]),)
             return outs
 
-        res = jax.vmap(one_channel)(params, nco_base, bfo_base, dstate_p)
+        res = jax.vmap(one_channel)(bb_all, params, bfo_base, dstate_p)
         audio = cplx.quantize_audio_wire(res[0], wire)
         # each shard emits its final demod state with a unit stream axis;
         # the caller keeps the LAST shard's (end of the super-block)
