@@ -338,3 +338,60 @@ def test_random_control_sequence_equals_fresh_build():
     for a, b in zip(jax.tree.leaves(bank.params),
                     jax.tree.leaves(fresh.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fused_step_matches_per_channel_reference_form():
+    """The bank's fused step (ops/resample.mixed_resample_bank + vmapped
+    demod) must match the documented per-channel reference form
+    channel_step (mix_down -> resample_block -> demod) to float-rounding
+    level — the fold is an exact regrouping on the integer phase grid.
+    Guards the fused path at the MODEL level (params gather, phase
+    back-shift, demod state threading), not just the op level."""
+    import jax
+    from pysdr_tpu.models import receiver as rx_mod
+    from pysdr_tpu.ops import cplx
+
+    cfg = PipelineConfig(
+        fs_in=512e3, fs_out=48e3, out_block=3072, foffset_hz=60e3,
+        receivers=(
+            ReceiverConfig(fc_hz=10e6, mode=Mode.AM),
+            ReceiverConfig(fc_hz=10.03e6, mode=Mode.NFM, squelch_db=-150),
+            ReceiverConfig(fc_hz=9.97e6, mode=Mode.USB),
+            ReceiverConfig(fc_hz=10.06e6, mode=Mode.CW),
+        ))
+    bank = ReceiverBank(cfg)
+    rng = np.random.default_rng(7)
+    d = bank.design
+    specs = [synth.SignalSpec(offset_hz=60e3, mode="am", audio_hz=700.0)]
+    src = synth.SynthSource(specs, fs=cfg.fs_in, noise_rms=0.05)
+
+    def ref_step(state, x, params):
+        st = cplx.unpack_tree(state, bank._state_mask)
+        xc = cplx.unpack(x)
+
+        def one(ch_st, pr):
+            audio, new_st, _ = rx_mod.channel_step(
+                xc, st.hist, ch_st, pr, d, bank.video_bank,
+                bank.carrier_taps, bank.pilot_taps)
+            return audio, new_st
+        audio, new_ch = jax.vmap(one)(st.ch, params)
+        kp1 = st.hist.shape[0]
+        new = rx_mod.BankState(hist=xc[-kp1:] if kp1 else st.hist,
+                               ch=new_ch)
+        return cplx.pack_tree(new)[0], audio
+
+    state_ref = bank.state
+    for blk in range(3):
+        x = bank.to_device_block(jnp.asarray(
+            src.read_data(d.in_block)))
+        state_ref, audio_ref = ref_step(state_ref, x, bank.params)
+        state_new, (audio_new_p, _) = bank.step_functional(
+            bank.state, x, bank.params)
+        bank.state = state_new
+        a_new = cplx.unpack(np.asarray(audio_new_p).reshape(
+            bank.n_rx, d.out_block, 2))
+        a_ref = np.asarray(audio_ref)
+        err = (np.abs(a_new - a_ref) ** 2).mean()
+        sig = max((np.abs(a_ref) ** 2).mean(), 1e-30)
+        snr_db = -10 * np.log10(max(err / sig, 1e-30))
+        assert snr_db > 80, (blk, snr_db)
