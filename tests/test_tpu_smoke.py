@@ -81,6 +81,16 @@ def test_tpu_end_to_end_audio(tmp_path):
     seg = data[len(data) // 2:]
     sp = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
     f = np.fft.rfftfreq(len(seg), 1.0 / fr)
-    peak_hz = f[5 + np.argmax(sp[5:])]
+    pk = 5 + np.argmax(sp[5:])
+    peak_hz = f[pk]
     assert abs(peak_hz - 400.0) < 5.0, peak_hz
+    # audio QUALITY floor, not just peak location: on TPU the resampler
+    # matmuls run with bf16 operands (ops/resample._mxu_lhs_dtype), so a
+    # chip-side precision regression would surface here first. The
+    # healthy path measures ~105 dB over the spectral floor; 60 dB
+    # leaves margin for tunnel/env variation while catching any real
+    # quality break (bf16 misuse, quantization bug, demod drift).
+    over_floor_db = 20 * np.log10(
+        sp[pk] / max(np.median(sp[5:]), 1e-12))
+    assert over_floor_db > 60.0, over_floor_db
     assert os.path.exists(os.path.join(png_dir, "RF.png"))
