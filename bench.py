@@ -254,13 +254,14 @@ def _run_e2e(argv, n_blocks=50, warm=2, reps=5):
 def _measure_transport_mbps(n_bytes=4 << 20, iters=6):
     """Effective tunnel rate in the STREAMING regime: a chained stateful
     step (state = f(state, x)) with one input upload and one output pull
-    per iteration — the executive's exact pattern. This matters because
-    the axon tunnel behaves differently once device->host pulls are
-    active: each execute then re-ships its working set (measured: a step
-    that costs 0.2 ms with resident inputs before any pull costs
-    ~bytes/15-30 MB/s per call after the first pull, regardless of
-    whether the input buffer is already resident). A pure-transfer
-    microbench reads ~40-70 MB/s and would overstate every ceiling."""
+    per iteration — the executive's exact pattern. Measured this way
+    (rather than a pure-transfer microbench) because only the pull
+    regime forces real execution on this tunnel (PERF.md elision
+    discovery), so the ceiling each e2e config is scored against
+    reflects upload + execute + pull exactly as the executive pays
+    them. Session-to-session this swings ~2x (committed artifacts
+    bracket 31-60 MB/s), which is why every config also reports
+    pct_of_ceiling against the SAME session's probe."""
     import jax
     import jax.numpy as jnp
     import numpy as np
