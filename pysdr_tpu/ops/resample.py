@@ -208,9 +208,12 @@ def mixed_resample_bank(x, hist, weights, k, p0, *, up: int, down: int):
     assert up_w == up
     q = -(-L // down)
     m = n // down
-    xp = jnp.concatenate([hist, x])
+    # single concatenation (hist | x | zero tail) — measured a wash vs
+    # concat-then-pad on the chip (XLA merges the copies), kept for the
+    # single-pass form
     xp = jnp.concatenate(
-        [xp, jnp.zeros((m + q) * down - xp.shape[0], xp.dtype)])
+        [hist, x,
+         jnp.zeros((m + q) * down - n - hist.shape[0], x.dtype)])
     lhs_dt = _mxu_lhs_dtype()
     Xr = xp.real.astype(lhs_dt).reshape(m + q, down)
     Xi = xp.imag.astype(lhs_dt).reshape(m + q, down)
