@@ -87,7 +87,14 @@ def channel_step(x, hist, state: ChannelState, p: ChannelParams,
     block; hist: complex64 (Kp-1,) shared RAW tail of the previous block.
     state.nco_phase is the LO phase index at x[0]; the tail is re-mixed at
     the back-shifted phase, reproducing the previous block's mixed tail
-    exactly. Returns (audio complex64 (out_block,), new_state, bb)."""
+    exactly. Returns (audio complex64 (out_block,), new_state, bb).
+
+    This is the per-channel REFERENCE form. The production paths (the
+    bank's _step_impl and the stream shards) use the fused bank-level
+    mix+resample instead (ops/resample.mixed_resample_bank — the
+    per-channel mixed streams' operand prep was 83% of the device step,
+    PERF.md); equivalence between the two forms is pinned >80 dB at the
+    model level in tests/test_receiver.py."""
     kp1 = hist.shape[0]
     k = p.nco_k
     p0m = nco.advance((nco.DENOM - k) % nco.DENOM, state.nco_phase, kp1)
