@@ -159,12 +159,39 @@ def profile_chan64() -> dict:
     return res
 
 
+def profile_modes1ch() -> dict:
+    """BASELINE configs 1-3 (one executable, mode as traced data): the
+    1-RX device step at 2.048 MHz — completes trace coverage of every
+    BASELINE config (bank4 = config 4, chan64 = config 5)."""
+    from pysdr_tpu.tables import Mode
+    bank = bench._bank(2.048e6, [Mode.AM], out_block=16384, spacing=0,
+                       foffset=120e3)
+    d = bank.design
+    blocks = bench._rand_blocks(d.in_block)
+    out = {}
+    for name, mode, squelch in (("am", Mode.AM, -150.0),
+                                ("nfm_squelch", Mode.NFM, 10.0),
+                                ("ssb_agc", Mode.USB, -150.0)):
+        bank.set_mode(0, mode)
+        bank.set_squelch(0, squelch)
+        res = _profile(f"modes_{name}", bank.step_device, blocks)
+        res["in_block"] = d.in_block
+        res["sps_from_device_time"] = round(
+            d.in_block / (res["device_step_us"] / 1e6), 0) \
+            if res["device_step_us"] else None
+        out[name] = res
+    return out
+
+
 def main():
     out = {"bank4": profile_bank4()}
     print(f"# bank4: {json.dumps(out['bank4'])[:400]}",
           file=sys.stderr, flush=True)
     out["chan64"] = profile_chan64()
     print(f"# chan64: {json.dumps(out['chan64'])[:400]}",
+          file=sys.stderr, flush=True)
+    out["modes1ch"] = profile_modes1ch()
+    print(f"# modes1ch: {json.dumps(out['modes1ch'])[:600]}",
           file=sys.stderr, flush=True)
     print(json.dumps(out))
 

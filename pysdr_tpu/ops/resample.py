@@ -68,16 +68,15 @@ def _mxu_lhs_dtype():
     """Operand dtype for the slab matmuls.
 
     On TPU, DEFAULT matmul precision already rounds f32 operands to
-    bfloat16 before the MXU pass — but when the cast is left implicit,
-    XLA materializes the full f32 operand and converts it in a dedicated
-    pass (two ~1.2 ms `while` conversion loops per bank4 step, 41% of
-    the whole step — probes/results_r05/device_profile_postfix.json,
-    PERF.md). Casting explicitly is numerically IDENTICAL on TPU (same
-    bf16 rounding, same f32 accumulate via preferred_element_type) and
-    lets XLA fuse the convert into the producer (the NCO mix multiply),
-    never writing the f32 intermediate. On CPU/GPU backends f32 matmuls
-    really run in f32, so there the cast would lose precision — keep
-    f32 (golden-parity and sharded==serial tests run on CPU).
+    bfloat16 before the MXU pass, so casting explicitly is numerically
+    IDENTICAL there (same bf16 rounding, same f32 accumulate via
+    preferred_element_type) — it just makes the operand path bf16-native
+    so producers can emit the matmul dtype directly. (Measured alone it
+    was a wash — XLA still retiled either way; the structural win was
+    mixed_resample_bank building ONE shared slab matrix instead of
+    2*n_rx, PERF.md.) On CPU/GPU backends f32 matmuls really run in
+    f32, so there the cast would lose precision — keep f32
+    (golden-parity and sharded==serial tests run on CPU).
     """
     import jax
     return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
