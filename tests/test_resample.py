@@ -112,7 +112,8 @@ def test_streaming_fir_cmpx_state(rng):
                                atol=1e-5)
 
 
-@pytest.mark.parametrize("up,down", [(3, 500), (3, 128), (1, 4)])
+@pytest.mark.parametrize("up,down", [(3, 500), (3, 128), (1, 4),
+                                     (3, 125), (24, 625)])
 def test_mixed_resample_bank_matches_per_channel(up, down, rng):
     """The fused bank-level mix+resample (the NCO folded into complex
     resampler weights via the exact integer-phase factorization,
