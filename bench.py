@@ -337,20 +337,22 @@ def bench_e2e_suite():
         # throughput-over-latency corner of the envelope
         out["end_to_end_i8_xl"] = _run_e2e(
             ["--replay", path, "--fs", "2.048", "--block", "65536",
-             "--fc", "100.0", "--wire", "i8"], n_blocks=20)
+             "--fc", "100.0", "--wire", "i8"], n_blocks=30)
         print(f"# e2e i8 xl: {out['end_to_end_i8_xl']}",
               file=sys.stderr, flush=True)
         checkpoint(out)
         # BASELINE config 4 host-to-host: the reference's maximum
         # advertised envelope (4 RX over 8 MHz) through the full
-        # host->device->host loop on the compact wires
+        # host->device->host loop on the compact wires. 6-block reps:
+        # at 4 blocks/rep a single transport hiccup dominated a whole
+        # rep (the 8.9-39.3 Msamp/s spread in BENCH_local_r5)
         path8 = os.path.join(td, "e2e8m.dat")
         _write_am_dat(path8, fs=8e6, n=1 << 23, offset_hz=750e3)
         out["end_to_end_bank4"] = _run_e2e(
             ["--replay", path8, "--fs", "8.0", "--block", "24576",
              "--fc", "100.0", "100.5", "101.0", "101.5",
              "--modes", "AM", "NFM", "USB", "CW",
-             "--wire", "i8", "--audio-wire", "i16"], n_blocks=20)
+             "--wire", "i8", "--audio-wire", "i16"], n_blocks=30)
         print(f"# e2e bank4: {out['end_to_end_bank4']}",
               file=sys.stderr, flush=True)
         checkpoint(out)
