@@ -153,6 +153,7 @@ class RtlTcpSource:
         self._lock = threading.Lock()
         self._avail = threading.Condition(self._lock)
         self._stop = threading.Event()
+        self._reconnecting = threading.Event()
         # Device commands are issued by a dedicated writer thread: the
         # executive's command queue only mutates host-side state, so a
         # stalled server / full TCP buffer can never block the DSP/audio
@@ -232,6 +233,17 @@ class RtlTcpSource:
         as a clean end-of-stream."""
         self._partial = b""
         t0 = time.monotonic()
+        # consumers' read timeouts are suspended while this is set: the
+        # retry budget (attempts x connect-timeout + backoff) can span a
+        # consumer's 10 s window, and the consumer aborting mid-retry
+        # would make the configured budget unusable for real outages
+        self._reconnecting.set()
+        try:
+            return self._re_establish_attempts(reason, t0)
+        finally:
+            self._reconnecting.clear()
+
+    def _re_establish_attempts(self, reason: str, t0: float) -> bool:
         for attempt in range(1, self._reconnect + 1):
             if self._stop.is_set():
                 return False
@@ -388,15 +400,26 @@ class RtlTcpSource:
                 f"{self._rsize // 2}-sample ring: raise ring_samples or "
                 "lower --block")
         with self._avail:
-            ok = self._avail.wait_for(
-                lambda: (self._w - self._r) >= nbytes
-                or self._stop.is_set(), timeout)
-            if not ok and not self._stop.is_set():
-                # live hardware stalled: fail loudly rather than
-                # consuming a partial block and masquerading as EOF
-                raise TimeoutError(
-                    f"rtl_tcp: no data for {timeout:.0f} s "
-                    "(server/dongle stalled?)")
+            ready = (lambda: (self._w - self._r) >= nbytes
+                     or self._stop.is_set())
+            # the timeout window counts only HEALTHY-connection silence:
+            # while the pump thread is inside _re_establish the clock is
+            # suspended (the retry budget is bounded on its own — on
+            # exhaustion _pump exits, _stop is set and we fall through
+            # to the dead-reason error below)
+            deadline = time.monotonic() + timeout
+            while not ready():
+                self._avail.wait_for(ready, 0.25)
+                if ready():
+                    break
+                if self._reconnecting.is_set():
+                    deadline = time.monotonic() + timeout
+                elif time.monotonic() >= deadline:
+                    # live hardware stalled: fail loudly rather than
+                    # consuming a partial block and masquerading as EOF
+                    raise TimeoutError(
+                        f"rtl_tcp: no data for {timeout:.0f} s "
+                        "(server/dongle stalled?)")
             if self._dead_reason is not None \
                     and (self._w - self._r) < nbytes:
                 # reconnect retries exhausted: a dead radio is an
@@ -433,6 +456,15 @@ class RtlTcpSource:
                 time.sleep(0.01)
             time.sleep(0.02)             # writer may be mid-sendall
         self._stop.set()
+        # first shutdown WITHOUT the lock: the writer thread may hold
+        # _sock_lock inside sendall on a stalled server for the full
+        # socket timeout, and shutdown() aborts that promptly — only
+        # then is the locked teardown (serialized with a reconnect
+        # swap) reachable without waiting out the timeout
+        try:
+            self._sock.shutdown(socket.SHUT_RDWR)
+        except OSError:
+            pass
         with self._sock_lock:        # serialize with a reconnect swap
             try:
                 self._sock.shutdown(socket.SHUT_RDWR)

@@ -247,8 +247,8 @@ class ReceiverBank:
         # into complex resampler weights via the exact integer-phase
         # factorization, so no per-channel mixed stream is materialized
         # (83% of the r5 bank4 device step — PERF.md). channel_step
-        # remains the reference per-channel form (the stream-parallel
-        # processors use it; equivalence pinned in tests).
+        # remains as the reference per-channel form, used only by the
+        # equivalence tests (the stream-parallel processors fuse too).
         p0m = jax.vmap(
             lambda k, p: nco.advance((nco.DENOM - k) % nco.DENOM, p, kp1)
         )(params.nco_k, state.ch.nco_phase)

@@ -121,8 +121,8 @@ def channelize_block(x, hist, weights, *, n_channels: int):
     """Split one block into N channel streams.
 
     x: complex64 (n,) or packed float32 (n, 2); hist likewise; weights:
-    float32 (N, N, K) from pack_branch_weights. Packed in -> packed out
-    (the TPU boundary format, ops/cplx.py).
+    float32 (N, K) per-branch taps from pack_branch_weights. Packed in
+    -> packed out (the TPU boundary format, ops/cplx.py).
     Returns (y (n//N, N) — row m, channel c in fftfreq order, new_hist).
     """
     packed = not jnp.iscomplexobj(x)

@@ -134,16 +134,6 @@ def _pick_factor(n: int) -> int:
     return B
 
 
-def _mul_pow2_mod(k, B: int):
-    """(k * B) mod DENOM for power-of-two static B, int32-safe for
-    traced k < DENOM (repeated doubling keeps products < 2^23)."""
-    k = jnp.asarray(k, jnp.int32)
-    while B > 1:
-        k = (k * 2) % DENOM
-        B //= 2
-    return k
-
-
 def _lo_factored(k, p0, n: int, sign: float):
     """exp(sign * j * 2π (p0 + k i)/DENOM) for i in [0, n) as an
     (n//B, B) outer product of two unit-phasor tables.
@@ -159,18 +149,10 @@ def _lo_factored(k, p0, n: int, sign: float):
     vs direct cos(θ), same order as the direct form's own rounding."""
     B = _pick_factor(n)
     if B < 8 or n // B < 2:                    # tiny/odd block: direct
-        th = lo_angles(k, p0, n)
-        return jax.lax.complex(
-            jnp.cos(th), jnp.float32(sign) * jnp.sin(th)).reshape(n)
-    a = n // B
-    th_hi = phase_indices(_mul_pow2_mod(k, B), p0, a).astype(
-        jnp.float32) * jnp.float32(_TWO_PI / DENOM)
-    th_lo = phase_indices(k, 0, B).astype(
-        jnp.float32) * jnp.float32(_TWO_PI / DENOM)
-    s = jnp.float32(sign)
-    hi = jax.lax.complex(jnp.cos(th_hi), s * jnp.sin(th_hi))
-    lo = jax.lax.complex(jnp.cos(th_lo), s * jnp.sin(th_lo))
-    return hi[:, None] * lo[None, :]           # (a, B)
+        return phasor_table(k, p0, n, sign)
+    hi = phasor_table(mul_mod(k, B), p0, n // B, sign)
+    lo = phasor_table(k, 0, B, sign)
+    return hi[:, None] * lo[None, :]           # (n//B, B)
 
 
 def tone(k, p0, n: int):

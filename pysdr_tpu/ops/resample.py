@@ -76,9 +76,14 @@ def _mxu_lhs_dtype():
     mixed_resample_bank building ONE shared slab matrix instead of
     2*n_rx, PERF.md.) On CPU/GPU backends f32 matmuls really run in
     f32, so there the cast would lose precision — keep f32
-    (golden-parity and sharded==serial tests run on CPU).
+    (golden-parity and sharded==serial tests run on CPU). An EXPLICIT
+    jax_default_matmul_precision (e.g. 'float32' while debugging audio
+    quality) must keep its meaning, so the cast only applies when the
+    user left precision at the backend default.
     """
     import jax
+    if jax.config.jax_default_matmul_precision is not None:
+        return jnp.float32
     return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
 
 

@@ -92,6 +92,10 @@ class Executive:
         self.profiler = BlockProfiler(d.in_block, d.fs_in)
         self._cmd_q: queue.Queue = queue.Queue()
         self._stop = threading.Event()
+        # prefetch reads only while a run() is active: a bounded
+        # run(n_blocks=N) that returns without stop() must not leave the
+        # reader eating source blocks past N and spinning on a full queue
+        self._pf_active = threading.Event()
         self.n_blocks = 0
         self.last_rf_block: np.ndarray | None = None
         # baseband (device array) matching the block being DRAINED: with
@@ -185,6 +189,8 @@ class Executive:
             # stage_report() readers may see a mid-block value, which
             # is fine for a diagnostic.
             while not self._stop.is_set():
+                if not self._pf_active.wait(timeout=0.2):
+                    continue           # paused between run() calls
                 t0 = time.perf_counter()
                 try:
                     pair = read_host_raw()
@@ -298,46 +304,50 @@ class Executive:
         # blocks). Depth > 1 keeps several blocks' uploads/computes/
         # downloads queued concurrently on high-latency transports.
         from collections import deque
-        nxt = read_block()
-        pending: deque = deque()     # device audio buffers in flight
-        depth = self.pipeline_depth
-        while not self._stop.is_set():
-            if nxt is None:
-                break
-            # n_blocks is cumulative across run() calls (self.n_blocks
-            # counts completed blocks; more may be in flight)
-            if n_blocks is not None and \
-                    self.n_blocks + len(pending) >= n_blocks:
-                break
-            if deadline and time.monotonic() > deadline:
-                break
-            self._apply_pending()
-            with self.profiler:
-                t0 = time.perf_counter()
-                audio_p = self.bank.step_device(nxt)   # async dispatch
-                # enqueue the device->host copy NOW, before the next
-                # block's upload hits the (serialized) transport — the
-                # later np.asarray then picks up a landed buffer instead
-                # of queueing its pull behind a whole RF upload
-                try:
-                    audio_p.copy_to_host_async()
-                except AttributeError:
-                    pass
-                self.stage_ms["dispatch"] += \
-                    (time.perf_counter() - t0) * 1e3
-                nxt = read_block()                     # overlap host read
-                bb_p = getattr(self.bank, "_last_bb", None)
-                if bb_p is not None and self.want_bb:
-                    try:      # same early-copy rationale as the audio
-                        bb_p.copy_to_host_async()
+        self._pf_active.set()
+        try:
+            nxt = read_block()
+            pending: deque = deque()     # device audio buffers in flight
+            depth = self.pipeline_depth
+            while not self._stop.is_set():
+                if nxt is None:
+                    break
+                # n_blocks is cumulative across run() calls (self.n_blocks
+                # counts completed blocks; more may be in flight)
+                if n_blocks is not None and \
+                        self.n_blocks + len(pending) >= n_blocks:
+                    break
+                if deadline and time.monotonic() > deadline:
+                    break
+                self._apply_pending()
+                with self.profiler:
+                    t0 = time.perf_counter()
+                    audio_p = self.bank.step_device(nxt)   # async dispatch
+                    # enqueue the device->host copy NOW, before the next
+                    # block's upload hits the (serialized) transport — the
+                    # later np.asarray then picks up a landed buffer
+                    # instead of queueing its pull behind a whole RF upload
+                    try:
+                        audio_p.copy_to_host_async()
                     except AttributeError:
                         pass
-                pending.append((audio_p, bb_p))
-                if len(pending) > depth:
-                    finish(pending.popleft())          # drain block k-D
-        while pending:
-            finish(pending.popleft())
-        return self.profiler
+                    self.stage_ms["dispatch"] += \
+                        (time.perf_counter() - t0) * 1e3
+                    nxt = read_block()                 # overlap host read
+                    bb_p = getattr(self.bank, "_last_bb", None)
+                    if bb_p is not None and self.want_bb:
+                        try:      # same early-copy rationale as the audio
+                            bb_p.copy_to_host_async()
+                        except AttributeError:
+                            pass
+                    pending.append((audio_p, bb_p))
+                    if len(pending) > depth:
+                        finish(pending.popleft())      # drain block k-D
+            while pending:
+                finish(pending.popleft())
+            return self.profiler
+        finally:
+            self._pf_active.clear()
 
     def stop(self):
         self._stop.set()

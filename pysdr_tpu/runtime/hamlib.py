@@ -14,6 +14,7 @@ from __future__ import annotations
 import socket
 import socketserver
 import threading
+from collections import deque
 
 from pysdr_tpu import tables
 
@@ -68,7 +69,10 @@ class RigState:
         # from the viewer/hopper).
         self.dial_hz: float | None = None
         self._known_fc: set = set()
-        self._last_target: float | None = None
+        # the executive queue can hold SEVERAL retunes mid-block (web
+        # pane + wsjtx in the same instant), so the prune below must
+        # preserve a window of recent targets, not just the last one
+        self._recent_targets: deque = deque(maxlen=8)
         # dial/RIT mutations come from every ThreadingTCPServer client
         # thread (wsjtx polling while the web pane tunes): serialize the
         # read-modify-post sequences so no retune is computed from a
@@ -95,17 +99,15 @@ class RigState:
     def _post_retune(self, target_hz: float):
         if len(self._known_fc) > 64:
             # bound the consistency set over long sessions: keep the
-            # current fc AND the most recent posted target — a retune
+            # current fc AND the recent posted targets — any retune
             # still pending in the executive queue at prune time must
             # not be misread as an external retune (which would resync
             # the dial to fc - rit and briefly report a wrong dial to
             # polling clients when RIT is nonzero)
-            self._known_fc = {self._cfg.fc_hz}
-            if self._last_target is not None:
-                self._known_fc.add(self._last_target)
+            self._known_fc = {self._cfg.fc_hz, *self._recent_targets}
         self._known_fc.add(self._cfg.fc_hz)
         self._known_fc.add(target_hz)
-        self._last_target = target_hz
+        self._recent_targets.append(target_hz)
         self.ex.post("retune", self.i, target_hz)
 
     def set_freq(self, hz: float):

@@ -40,7 +40,11 @@ def _src_hash() -> str:
 
 def _build() -> bool:
     try:
-        subprocess.run(["make", "-C", _DIR, "-s"], check=True,
+        # -B: _build is only reached when the lib is missing or its
+        # source hash mismatches — make's own mtime rule may consider a
+        # hash-stale .so "up to date" (arbitrary checkout mtimes), and a
+        # no-op make here would stamp the new hash onto the old binary
+        subprocess.run(["make", "-C", _DIR, "-s", "-B"], check=True,
                        capture_output=True, timeout=120)
         ok = os.path.exists(_LIB_PATH)
         if ok:

@@ -191,12 +191,9 @@ PAGE_TEMPLATE = """<!DOCTYPE html>
   <option value="0">A</option><option value="1">B</option></select>
  <button onclick="rigSet('vfo','A')">VFO A</button>
  <button onclick="rigSet('vfo','B')">VFO B</button>
- <label class="lbl"><input id="rigff" type="checkbox"
-  onchange="rigSet('follow_freq',this.checked?1:0)">follow-freq</label>
- <label class="lbl"><input id="rigfb" type="checkbox"
-  onchange="rigSet('follow_band',this.checked?1:0)">follow-band</label>
- <label class="lbl"><input id="rigcl" type="checkbox"
-  onchange="rigSet('clar',this.checked?1:0)">CLAR</label>
+ <label class="lbl"><input id="rigff" type="checkbox">follow-freq</label>
+ <label class="lbl"><input id="rigfb" type="checkbox">follow-band</label>
+ <label class="lbl"><input id="rigcl" type="checkbox">CLAR</label>
 </div>
 <canvas id="rwf" width="1024" height="100" style="display:none"></canvas>
 <div id="rtty"></div>

@@ -227,6 +227,53 @@ def test_rtltcp_auto_reconnect_survives_server_bounce():
             srv2.stop()
 
 
+def test_rtltcp_outage_longer_than_consumer_timeout_survives():
+    """A consumer's read timeout must not fire while the pump thread is
+    mid-reconnect: the retry budget (attempts x backoff) can legitimately
+    span the consumer's window, and aborting there would make the
+    configured --rtl-tcp-retries budget unusable for any outage longer
+    than one read timeout. The window counts only healthy-connection
+    silence."""
+    import threading
+    import time
+
+    fs = 256e3
+    iq = _am_iq(fs, 1 << 15, offset_hz=60e3)
+    srv = rtltcp.FakeRtlTcpServer(iq)
+    src = None
+    revived = []
+    try:
+        src = rtltcp.RtlTcpSource(
+            "127.0.0.1", srv.port, fs=fs, fc=100e6, timeout=0.3,
+            reconnect=60, reconnect_wait=0.2, ring_samples=1 << 14)
+        src.read_data(1 << 12, timeout=5.0)
+        port = srv.port
+        srv.stop()                       # outage begins...
+
+        def revive():
+            time.sleep(2.5)              # ...and outlasts the 1 s reads
+            revived.append(rtltcp.FakeRtlTcpServer(iq, port=port))
+        t = threading.Thread(target=revive, daemon=True)
+        t.start()
+        # drain any ring backlog, then demand fresh data on a 1 s
+        # consumer window — shorter than the outage. Pre-fix this raised
+        # TimeoutError('no data for 1 s') while _re_establish was still
+        # inside its retry budget.
+        deadline = time.monotonic() + 20.0
+        got = 0
+        while got < (1 << 15) and time.monotonic() < deadline:
+            got += len(src.read_data(1 << 12, timeout=1.0))
+        t.join()
+        assert got >= 1 << 15
+        assert src.reconnects >= 1
+    finally:
+        if src is not None:
+            src.close()
+        srv.stop()
+        for s in revived:
+            s.stop()
+
+
 def test_rtltcp_reconnect_exhaustion_raises_loudly():
     """A dead radio with reconnect retries exhausted must raise, not
     masquerade as a clean end-of-stream (the r4 fail-loudly invariant
