@@ -308,6 +308,49 @@ def test_executive_bb_aligned_with_drained_audio():
         assert abs(b / bb_rms[0] - (i + 1)) < 0.15 * (i + 1), bb_rms
 
 
+def test_prefetch_pauses_between_bounded_runs():
+    """After a bounded run(n_blocks=N) returns, the prefetch thread must
+    stop consuming the source (beyond the bounded read-ahead queue): a
+    reader left free-running would strand blocks from a live source and
+    spin on the full queue forever. A subsequent run() resumes it and
+    the stream stays continuous."""
+    import time
+
+    import numpy as np
+
+    from pysdr_tpu.config import PipelineConfig, ReceiverConfig
+    from pysdr_tpu.models.receiver import ReceiverBank
+    from pysdr_tpu.runtime.executive import Executive
+    from pysdr_tpu.tables import Mode
+
+    class CountingSource:
+        def __init__(self):
+            self.reads = 0
+
+        def read_data(self, n, loop=True):
+            self.reads += 1
+            return np.zeros(n, np.complex64)
+
+    cfg = PipelineConfig(
+        fs_in=512e3, fs_out=48e3, out_block=1024, foffset_hz=60e3,
+        receivers=(ReceiverConfig(fc_hz=10e6, mode=Mode.AM),))
+    bank = ReceiverBank(cfg)
+    src = CountingSource()
+    ex = Executive(bank, src)
+    ex.run(n_blocks=3)
+    assert ex.n_blocks == 3
+    time.sleep(0.3)                  # let any in-flight read land
+    settled = src.reads
+    time.sleep(0.6)                  # 3x the pause-poll period
+    assert src.reads == settled, "prefetch kept reading after run()"
+    # bounded read-ahead only: the pipeline consumes N+1 (one `nxt` in
+    # hand at the break) + at most queue(2) + 1 mid-read in the thread
+    assert settled <= 3 + 4
+    ex.run(n_blocks=6)               # resumes: three more blocks land
+    assert ex.n_blocks == 6
+    ex.stop()
+
+
 def test_prefetch_source_error_surfaces_not_hangs():
     """A source that raises mid-stream must surface the error from
     Executive.run() (the prefetch thread forwards it), never leave the
